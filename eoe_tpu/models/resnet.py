@@ -1,0 +1,95 @@
+"""WideResNet (ResNet-18-style with CBAM) for 224x224 inputs, in Flax/NHWC.
+
+Behavioral parity target: /root/reference/src/eoe/models/resnet.py:25-154
+(hendrycks/ss-ood lineage): conv7x7 s2 -> BN/ReLU -> maxpool3x3 s2 -> four
+stages of 2 BasicBlocks (64/128/256/512, stride 2 from stage 2) each with CBAM
+before the residual add -> 7x7 avgpool -> fc to rep_dim (default 256), plus an
+optional 1-neuron clf head. Conv weights kaiming-normal (fan_out), BN scale 1
+except the CBAM SpatialGate BN which is zero-initialized (resnet.py:56-66).
+
+The reference's `WideResNet50Pretrained` (torchvision wide_resnet50_2 with
+ImageNet weights, resnet.py:8-21) requires downloaded torchvision weights; its
+role is covered here by `models.clip` pretrained encoders and by CustomNet
+feature models with `load_feature_model_weights`.
+"""
+
+import math
+from functools import partial
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from eoe_tpu.models.cbam import CBAM
+from eoe_tpu.models.cnn import torch_linear_init
+
+
+def kaiming_normal_fan_out():
+    def init(key, shape, dtype=jnp.float32):
+        # HWIO conv kernels: fan_out = H*W*O
+        fan_out = shape[0] * shape[1] * shape[3] if len(shape) == 4 else shape[1]
+        std = math.sqrt(2.0 / fan_out)
+        return std * jax.random.normal(key, shape, dtype)
+    return init
+
+
+def _bn(name: str):
+    return nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5, name=name)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    use_cbam: bool = True
+    downsample: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        residual = x
+        out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False,
+                      kernel_init=kaiming_normal_fan_out(), name="conv1")(x)
+        out = nn.relu(_bn("bn1")(out, use_running_average=not train))
+        out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
+                      kernel_init=kaiming_normal_fan_out(), name="conv2")(out)
+        out = _bn("bn2")(out, use_running_average=not train)
+        if self.downsample:
+            residual = nn.Conv(self.planes, (1, 1), strides=self.stride, use_bias=False,
+                               kernel_init=kaiming_normal_fan_out(), name="down_conv")(x)
+            residual = _bn("down_bn")(residual, use_running_average=not train)
+        if self.use_cbam:
+            out = CBAM(self.planes, 16, name="cbam")(out, train)
+        return nn.relu(out + residual)
+
+
+class WideResNet(nn.Module):
+    rep_dim: int = 256
+    clf: bool = False
+    layers: Sequence[int] = (2, 2, 2, 2)
+    use_cbam: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.reshape(-1, 224, 224, 3)
+        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                    kernel_init=kaiming_normal_fan_out(), name="conv1")(x)
+        x = nn.relu(_bn("bn1")(x, use_running_average=not train))
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        inplanes = 64
+        for stage, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers), start=1):
+            stride = 1 if stage == 1 else 2
+            for b in range(blocks):
+                s = stride if b == 0 else 1
+                down = b == 0 and (s != 1 or inplanes != planes)
+                x = BasicBlock(planes, s, self.use_cbam, down, name=f"layer{stage}_block{b}")(x, train)
+            inplanes = planes
+
+        # 7x7 avg pool on the 7x7 feature map == global average pool
+        x = x.mean(axis=(1, 2))
+        x = nn.Dense(self.rep_dim, kernel_init=kaiming_normal_fan_out(),
+                     bias_init=nn.initializers.zeros, name="fc")(x)
+        if self.clf:
+            x = nn.Dense(1, kernel_init=kaiming_normal_fan_out(),
+                         bias_init=nn.initializers.zeros, name="linear")(x)
+        return x

@@ -1,0 +1,345 @@
+"""Device-side preprocessing / augmentation pipelines.
+
+The reference splits its torchvision pipelines into per-worker CPU transforms
+and GPU "dual" transforms at runtime (bases.py:412-468) and keeps serializable
+string placeholders like 'normalize' that are replaced once dataset statistics
+are known (bases.py:293-372). This module is the TPU-native redesign of that
+whole mechanism:
+
+  * a pipeline is a declarative list of **specs** — plain dicts / strings,
+    JSON-serializable, stored in setup.json and checkpoints exactly like the
+    reference's transform reprs;
+  * ``compile_pipeline(specs, stats)`` resolves placeholders against the
+    dataset statistics and returns ONE pure batched function
+    ``fn(images, key) -> images`` over NHWC float32 in [0, 1] that runs fully
+    on device inside the jitted train/eval step — XLA fuses the element-wise
+    chain; there is no CPU/GPU split and no worker processes;
+  * label-conditional pipelines (the reference's ConditionalCompose /
+    multiscale MSM machinery, transformations.py:23-61) compile to fixed-shape
+    ``jnp.where`` over both branches.
+
+Known, documented deviations from torchvision semantics (all negligible at the
+magnitudes the reference uses):
+  * ColorJitter applies brightness/contrast/saturation/hue in fixed order
+    instead of a random permutation;
+  * Resize uses jax.image.resize (linear antialiased / bicubic) instead of PIL
+    resampling.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eoe_tpu.ops import filters as F
+
+Array = jax.Array
+Spec = Union[str, Dict[str, Any]]
+
+# CLIP's canonical normalization constants (public, from OpenAI CLIP preprocessing)
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+
+NORM_PLACEHOLDERS = ("norm", "normalise", "normalize")
+GCN_PLACEHOLDERS = ("gcn-norm", "gcn-normalize", "gcn-normalise")
+
+
+@dataclasses.dataclass
+class DatasetStats:
+    """Per-channel statistics extracted from the raw normal train split,
+    mirroring the reference's ds_statistics dict carried in snapshots
+    (ad_trainer.py:600-605)."""
+    mean: Tuple[float, ...]
+    std: Tuple[float, ...]
+    mode: int = 0  # 0 = STD_NORM, 1 = GCN_NORM (bases.py:22-27)
+
+    def to_json(self):
+        return {"mean": list(map(float, self.mean)), "std": list(map(float, self.std)), "mode": self.mode}
+
+    @staticmethod
+    def from_json(d):
+        if d is None:
+            return None
+        return DatasetStats(tuple(d["mean"]), tuple(d["std"]), int(d.get("mode", 0)))
+
+
+# ---------------------------------------------------------------- color ops
+
+
+def _rgb_to_hsv(img: Array) -> Array:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    maxc = jnp.maximum(jnp.maximum(r, g), b)
+    minc = jnp.minimum(jnp.minimum(r, g), b)
+    v = maxc
+    deltac = maxc - minc
+    s = jnp.where(maxc > 0, deltac / jnp.maximum(maxc, 1e-12), 0.0)
+    dc = jnp.maximum(deltac, 1e-12)
+    rc = (maxc - r) / dc
+    gc = (maxc - g) / dc
+    bc = (maxc - b) / dc
+    h = jnp.where(r == maxc, bc - gc, jnp.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = jnp.where(deltac > 0, (h / 6.0) % 1.0, 0.0)
+    return jnp.stack([h, s, v], axis=-1)
+
+
+def _hsv_to_rgb(img: Array) -> Array:
+    h, s, v = img[..., 0], img[..., 1], img[..., 2]
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    i = i.astype(jnp.int32) % 6
+    r = jnp.choose(i, [v, q, p, p, t, v], mode="clip")
+    g = jnp.choose(i, [t, v, v, q, p, p], mode="clip")
+    b = jnp.choose(i, [p, p, t, v, v, q], mode="clip")
+    return jnp.stack([r, g, b], axis=-1)
+
+
+def _luma(img: Array) -> Array:
+    if img.shape[-1] == 1:
+        return img[..., 0]
+    return 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+
+
+def color_jitter(images: Array, key: Array, brightness: float = 0.0, contrast: float = 0.0,
+                 saturation: float = 0.0, hue: float = 0.0) -> Array:
+    """Per-sample color jitter (factors sampled like torchvision)."""
+    n = images.shape[0]
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    shape = (n, 1, 1, 1)
+    if brightness > 0:
+        f = jax.random.uniform(kb, shape, minval=max(0.0, 1 - brightness), maxval=1 + brightness)
+        images = jnp.clip(images * f, 0.0, 1.0)
+    if contrast > 0:
+        f = jax.random.uniform(kc, shape, minval=max(0.0, 1 - contrast), maxval=1 + contrast)
+        mean = _luma(images).mean(axis=(1, 2)).reshape(n, 1, 1, 1)
+        images = jnp.clip(f * images + (1 - f) * mean, 0.0, 1.0)
+    if saturation > 0 and images.shape[-1] == 3:
+        f = jax.random.uniform(ks, shape, minval=max(0.0, 1 - saturation), maxval=1 + saturation)
+        gray = _luma(images)[..., None]
+        images = jnp.clip(f * images + (1 - f) * gray, 0.0, 1.0)
+    if hue > 0 and images.shape[-1] == 3:
+        d = jax.random.uniform(kh, (n, 1, 1), minval=-hue, maxval=hue)
+        hsv = _rgb_to_hsv(images)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + d) % 1.0)
+        images = _hsv_to_rgb(hsv)
+    return images
+
+
+# ---------------------------------------------------------------- geometric ops
+
+
+def resize(images: Array, size: Tuple[int, int], method: str = "linear") -> Array:
+    n, h, w, c = images.shape
+    if (h, w) == tuple(size):
+        return images
+    return jax.image.resize(images, (n, size[0], size[1], c), method=method)
+
+
+def center_crop(images: Array, size: Tuple[int, int]) -> Array:
+    n, h, w, c = images.shape
+    th, tw = size
+    # torchvision pads when the crop is larger than the image
+    if th > h or tw > w:
+        ph, pw = max(th - h, 0), max(tw - w, 0)
+        images = jnp.pad(images, ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2), (0, 0)))
+        n, h, w, c = images.shape
+    i = (h - th) // 2
+    j = (w - tw) // 2
+    return images[:, i:i + th, j:j + tw, :]
+
+
+def random_crop(images: Array, key: Array, size: Tuple[int, int], padding: int = 0) -> Array:
+    """Per-sample random crop with optional zero padding (fixed shapes: one
+    dynamic_slice per sample via vmap)."""
+    if padding > 0:
+        images = jnp.pad(images, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    n, h, w, c = images.shape
+    th, tw = size
+    ki, kj = jax.random.split(key)
+    tops = jax.random.randint(ki, (n,), 0, h - th + 1)
+    lefts = jax.random.randint(kj, (n,), 0, w - tw + 1)
+
+    def crop_one(img, top, left):
+        return jax.lax.dynamic_slice(img, (top, left, 0), (th, tw, c))
+
+    return jax.vmap(crop_one)(images, tops, lefts)
+
+
+def random_hflip(images: Array, key: Array, p: float = 0.5) -> Array:
+    n = images.shape[0]
+    flip = jax.random.bernoulli(key, p, (n, 1, 1, 1))
+    return jnp.where(flip, images[:, :, ::-1, :], images)
+
+
+def gaussian_noise(images: Array, key: Array, std: float) -> Array:
+    return images + std * jax.random.normal(key, images.shape, dtype=images.dtype)
+
+
+def normalize(images: Array, mean: Sequence[float], std: Sequence[float]) -> Array:
+    mean = jnp.asarray(mean, dtype=images.dtype).reshape(1, 1, 1, -1)
+    std = jnp.asarray(std, dtype=images.dtype).reshape(1, 1, 1, -1)
+    return (images - mean) / std
+
+
+def _normalize_rt(images: Array, rt_stats, mean, std) -> Array:
+    """Normalize preferring runtime-traced stats (so one compiled pipeline
+    serves every class/seed; per-class stats are inputs, not constants)."""
+    if rt_stats is not None:
+        return normalize(images, rt_stats[0], rt_stats[1])
+    return normalize(images, mean, std)
+
+
+# ---------------------------------------------------------------- spec compiler
+
+
+def _canon(spec: Spec) -> Dict[str, Any]:
+    if isinstance(spec, str):
+        return {"op": spec}
+    return dict(spec)
+
+
+class PipelineError(ValueError):
+    pass
+
+
+def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None,
+                     ) -> Callable[[Array, Optional[Array]], Array]:
+    """Compile transform specs into one batched device function
+    ``fn(images, key) -> images``. ``key`` may be None if no spec is random."""
+    steps: List[Tuple[bool, Callable]] = []  # (needs_key, fn); fn may take rt_stats kw
+    STATS_OP = "__stats__"  # sentinel: fn additionally receives runtime stats
+
+    for raw in specs or ():
+        s = _canon(raw)
+        op = s["op"].lower()
+        if op in ("to_tensor", "totensor", "rgb"):
+            continue  # images are already float NHWC in [0,1]
+        elif op == "resize":
+            size = s["size"]
+            size = (size, size) if isinstance(size, int) else tuple(size)
+            steps.append((False, partial(resize, size=size, method=s.get("method", "linear"))))
+        elif op == "center_crop":
+            size = s["size"]
+            size = (size, size) if isinstance(size, int) else tuple(size)
+            steps.append((False, partial(center_crop, size=size)))
+        elif op == "random_crop":
+            size = s["size"]
+            size = (size, size) if isinstance(size, int) else tuple(size)
+            steps.append((True, partial(random_crop, size=size, padding=int(s.get("padding", 0)))))
+        elif op in ("random_hflip", "random_horizontal_flip"):
+            steps.append((True, partial(random_hflip, p=float(s.get("p", 0.5)))))
+        elif op == "color_jitter":
+            steps.append((True, partial(
+                color_jitter,
+                brightness=float(s.get("brightness", 0.0)), contrast=float(s.get("contrast", 0.0)),
+                saturation=float(s.get("saturation", 0.0)), hue=float(s.get("hue", 0.0)))))
+        elif op == "gaussian_noise":
+            steps.append((True, partial(gaussian_noise, std=float(s["std"]))))
+        elif op == "grayscale":
+            steps.append((False, F.grayscale))
+        elif op == "blur":
+            steps.append((False, partial(F.gaussian_blur, sigma=float(s["sigma"]))))
+        elif op == "sharpen":
+            steps.append((False, partial(F.unsharp_mask, percent=float(s["percent"]))))
+        elif op == "hpf":
+            steps.append((False, partial(F.high_pass_filter, magnitude=int(s["magnitude"]))))
+        elif op == "lpf":
+            steps.append((False, partial(F.low_pass_filter, magnitude=int(s["magnitude"]))))
+        elif op == "minmax_norm":
+            steps.append((False, F.minmax_norm))
+        elif op == "gcn":
+            steps.append((False, partial(F.global_contrast_normalization, scale=s.get("scale", "l1"))))
+        elif op in NORM_PLACEHOLDERS:
+            if stats is None:
+                raise PipelineError(
+                    "pipeline contains 'normalize' but no dataset statistics were provided; "
+                    "they are extracted from the raw normal train split (see datasets.bases)")
+            steps.append((STATS_OP, partial(_normalize_rt, mean=stats.mean, std=stats.std)))
+        elif op in GCN_PLACEHOLDERS:
+            if stats is None:
+                raise PipelineError("pipeline contains 'gcn-normalize' but no dataset statistics were provided")
+            steps.append((False, partial(F.global_contrast_normalization, scale="l1")))
+            steps.append((STATS_OP, partial(_normalize_rt, mean=stats.mean, std=stats.std)))
+        elif op == "clip_pil_preprocessing":
+            # bicubic resize + center crop to CLIP's 224 input (clip.py:58-65)
+            res = int(s.get("resolution", 224))
+            steps.append((False, partial(resize, size=(res, res), method="cubic")))
+        elif op == "clip_tensor_preprocessing":
+            steps.append((False, partial(normalize, mean=CLIP_MEAN, std=CLIP_STD)))
+        elif op == "normalize_with":
+            steps.append((False, partial(normalize, mean=tuple(s["mean"]), std=tuple(s["std"]))))
+        elif op == "lambda":
+            raise PipelineError("arbitrary lambdas are not serializable; add a named op instead")
+        else:
+            raise PipelineError(f"unknown transform op: {op!r} (spec {raw!r})")
+
+    n_random = sum(1 for kind, _ in steps if kind is True)
+
+    def apply(images: Array, key: Optional[Array] = None, rt_stats=None) -> Array:
+        """``rt_stats``: optional traced (mean, std) arrays overriding the baked
+        statistics, so one compiled train step serves all classes/seeds."""
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        keys = jax.random.split(key, n_random) if (n_random and key is not None) else None
+        if n_random and key is None:
+            raise PipelineError("pipeline contains random ops but no PRNG key was passed")
+        ki = 0
+        for kind, fn in steps:
+            if kind is True:
+                images = fn(images, keys[ki])
+                ki += 1
+            elif kind == STATS_OP:
+                images = fn(images, rt_stats)
+            else:
+                images = fn(images)
+        return images
+
+    apply.specs = list(specs or ())
+    apply.n_random = n_random
+    return apply
+
+
+def compile_conditional(conditionals: Sequence[Tuple[int, Optional[Sequence[Spec]], Optional[Sequence[Spec]]]],
+                        stats: Optional[DatasetStats] = None) -> Callable[[Array, Array, Optional[Array]], Array]:
+    """Compile label-conditional transforms: list of (cond, specs_eq, specs_neq).
+
+    Equivalent to the reference's batched-GPU ConditionalCompose
+    (transformations.py:40-53): both branches are computed on the whole batch
+    and merged with jnp.where on the label — fixed shapes under jit."""
+    compiled = [
+        (cond,
+         compile_pipeline(t1 or [], stats),
+         compile_pipeline(t2 or [], stats))
+        for cond, t1, t2 in (conditionals or ())
+    ]
+    n_random = sum(f1.n_random + f2.n_random for _, f1, f2 in compiled)
+
+    def apply(images: Array, labels: Array, key: Optional[Array] = None, rt_stats=None) -> Array:
+        images = jnp.asarray(images)
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        for cond, f1, f2 in compiled:
+            k1 = k2 = None
+            if key is not None:
+                key, k1, k2 = jax.random.split(key, 3)
+            a = f1(images, k1, rt_stats)
+            b = f2(images, k2, rt_stats)
+            images = jnp.where(labels.reshape(-1, 1, 1, 1) == cond, a, b)
+        return images
+
+    apply.n_random = n_random
+    apply.conditionals = list(conditionals or ())
+    return apply
+
+
+def specs_repr(specs: Sequence[Spec]) -> str:
+    """Canonical string form for setup.json matching / resume asserts
+    (the reference compares transform reprs, main/__init__.py:576-589)."""
+    import json
+    return json.dumps([_canon(s) for s in (specs or ())], sort_keys=True)

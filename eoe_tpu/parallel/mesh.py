@@ -1,0 +1,128 @@
+"""Device mesh and sharding layer.
+
+The reference is single-process/single-GPU with no distributed backend at all
+(main/__init__.py:110-114 states multi-GPU is unimplemented). This module is
+therefore new TPU-native infrastructure rather than a port: it owns
+
+  * ``jax.distributed`` initialization for multi-host pods,
+  * a 2-D ``(data, model)`` mesh over ICI,
+  * NamedSharding helpers for batch-sharded (data-parallel) training — XLA
+    inserts the gradient all-reduce — and optional tensor-parallel parameter
+    shardings for the CLIP encoders (rules matched by parameter-path suffix),
+  * host->device placement of globally-sharded batches.
+
+DP rides the 'data' axis; TP (CLIP attention/MLP) rides 'model'. PP/EP/CP are
+intentionally out of scope for this model family (largest model is CLIP
+ViT-B/32; see SURVEY.md §2.7/§5.7).
+"""
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Shape of the device mesh. ``data * model`` must equal #devices used."""
+    data: int = -1   # -1: all remaining devices
+    model: int = 1
+
+    def resolve(self, n_devices: int) -> Tuple[int, int]:
+        model = max(1, self.model)
+        data = self.data if self.data > 0 else max(1, n_devices // model)
+        if data * model > n_devices:
+            raise ValueError(f"mesh {data}x{model} needs {data * model} devices, have {n_devices}")
+        return data, model
+
+
+def init_distributed():
+    """Initialize jax.distributed for multi-host pods if env vars indicate a
+    multi-process setup; a no-op on single host."""
+    if os.environ.get("EOE_TPU_DISTRIBUTED", "0") == "1" and jax.process_count() == 1:
+        try:
+            jax.distributed.initialize()
+        except Exception:  # pragma: no cover - depends on cluster env
+            pass
+
+
+def make_mesh(config: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    config = config or MeshConfig()
+    devices = list(devices if devices is not None else jax.devices())
+    data, model = config.resolve(len(devices))
+    grid = np.asarray(devices[: data * model]).reshape(data, model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'; replicate the rest."""
+    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host pytree of arrays on the mesh, batch-axis sharded."""
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, max(x.ndim, 1)))
+    return jax.tree_util.tree_map(put, batch)
+
+
+# ---------------------------------------------------------------- TP rules
+
+# parameter-path suffix -> PartitionSpec. Applied to CLIP encoder params: MLP
+# up-projection and attention QKV are sharded on the output feature axis, MLP
+# down-projection and attention out on the input feature axis (Megatron-style
+# column/row split). Everything else replicates.
+_TP_RULES: Sequence[Tuple[Tuple[str, ...], P]] = (
+    (("mlp_up", "kernel"), P(None, MODEL_AXIS)),
+    (("mlp_up", "bias"), P(MODEL_AXIS)),
+    (("mlp_down", "kernel"), P(MODEL_AXIS, None)),
+    (("qkv", "kernel"), P(None, MODEL_AXIS)),
+    (("qkv", "bias"), P(MODEL_AXIS)),
+    (("attn_out", "kernel"), P(MODEL_AXIS, None)),
+)
+
+
+def _spec_for_path(path: Tuple[str, ...], shape: Tuple[int, ...], mesh: Mesh) -> P:
+    model_size = mesh.shape[MODEL_AXIS]
+    if model_size > 1:
+        for suffix, spec in _TP_RULES:
+            if len(path) >= len(suffix) and tuple(path[-len(suffix):]) == suffix:
+                # only shard if the sharded dim divides evenly
+                dims = [d for d, ax in enumerate(spec) if ax == MODEL_AXIS]
+                if all(shape[d] % model_size == 0 for d in dims if d < len(shape)):
+                    return spec
+    return P()
+
+
+def param_shardings(mesh: Mesh, params) -> Any:
+    """NamedSharding pytree for a parameter pytree: TP rules where they apply,
+    replicated otherwise."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def one(path_entries, leaf):
+        path = tuple(
+            getattr(p, "key", getattr(p, "name", getattr(p, "idx", None))) for p in path_entries
+        )
+        path = tuple(str(p) for p in path if p is not None)
+        return NamedSharding(mesh, _spec_for_path(path, tuple(np.shape(leaf)), mesh))
+
+    specs = [one(p, l) for p, l in flat]
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def cpu_mesh_for_tests(n: int = 8) -> Mesh:
+    """A helper for tests/dryruns: mesh over (virtual) CPU devices."""
+    devs = [d for d in jax.devices() if d.platform == "cpu"] or jax.devices()
+    return make_mesh(MeshConfig(data=min(n, len(devs)), model=1), devs)

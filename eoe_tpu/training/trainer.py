@@ -1,0 +1,701 @@
+"""Training engine: jitted train/eval steps + the class×seed experiment grid.
+
+TPU-native redesign of the reference's ADTrainer (behavioral parity target:
+/root/reference/src/eoe/training/ad_trainer.py). What the reference does with
+a stateful torch loop — DataLoader workers, `.to(device)` per batch, per-label
+boolean indexing for GPU transforms (:406-444) — is here one pure jitted
+``(state, batch, key) -> (state, metrics)`` function:
+
+  * preprocessing (augmentation + label-conditional MSM filters + normalize)
+    runs INSIDE the step, fused by XLA with the model forward,
+  * the normal and OE halves are preprocessed as fixed-shape halves and
+    concatenated (no dynamic boolean indexing),
+  * for device-resident datasets (CIFAR/MNIST/MVTec blobs), the whole train
+    split lives in HBM and one ``lax.scan`` runs a full epoch without host
+    round-trips; otherwise a host loop feeds raw uint8 halves,
+  * multi-chip: batches carry a `data`-axis sharding constraint; with
+    replicated params XLA derives the gradient all-reduce over ICI,
+  * the class×seed grid, NaN-retry (5 attempts, parity ad_trainer.py:257-280),
+    snapshotting, resume, and the results.json contract mirror `ADTrainer.run`
+    (:177-354).
+"""
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+from flax import struct
+
+from eoe_tpu.datasets import MSM, load_dataset, no_classes, str_labels
+from eoe_tpu.datasets.bases import INF, ADDataset, BalancedEpochSampler, CombinedDataset, Subset
+from eoe_tpu.ops import metrics as M
+from eoe_tpu.ops.losses import OBJECTIVES, Objective, dsvdd_center
+from eoe_tpu.parallel import mesh as meshlib
+from eoe_tpu.training.optim import make_optimizer
+from eoe_tpu.utils.logger import Logger
+
+AD_MODES = ("one_vs_rest", "leave_one_out")
+
+
+class NanGradientsError(RuntimeError):
+    """Anomaly scores turned NaN during an epoch (ad_trainer.py:23,447-449)."""
+
+
+class Result:
+    """Per-class lists of per-seed metrics + class means (ad_trainer.py:40-91)."""
+
+    def __init__(self, n_classes: int):
+        self.values: List[list] = [[] for _ in range(n_classes)]
+        self.mean_values: List[Any] = [None] * n_classes
+
+    def __getitem__(self, cls: int) -> list:
+        return self.values[cls]
+
+    def set_mean(self, cls: int, value):
+        self.mean_values[cls] = value
+
+    def mean(self, cls: int, on_none_return_latest=False):
+        mean = self.mean_values[cls]
+        latest = self.values[cls][-1] if len(self.values[cls]) > 0 else None
+        return mean if mean is not None else (latest if on_none_return_latest else None)
+
+    def means(self, on_none_return_latest=False) -> list:
+        return [self.mean(c, on_none_return_latest) for c in range(len(self.mean_values))]
+
+    def __iter__(self):
+        return iter(self.values)
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+    def replace_params(self, params, opt_state, batch_stats):
+        return self.replace(params=params, opt_state=opt_state, batch_stats=batch_stats,
+                            step=self.step + 1)
+
+
+def _is_resident(subset: Subset) -> bool:
+    return subset is not None and subset.source.resident
+
+
+class Trainer:
+    """The experiment-grid trainer for all feature-space objectives
+    (hsc/bce/focal/dsvdd/dsad/ae). CLIP overrides the metric-preparation and
+    model handling in :class:`eoe_tpu.training.clip.ClipTrainer`.
+
+    Mirrors ADTrainer's constructor surface (ad_trainer.py:93-144) with JAX
+    idioms: ``model`` is a Flax module (re-initialized per class-seed instead
+    of deep-copied + weight_reset), ``devices`` becomes a mesh config.
+    """
+
+    # whether to return trained states from run() (ad_trainer.py:95-97)
+    KEEP_SNAPSHOT_IN_RAM = False
+
+    def __init__(self, model, train_specs: Sequence, test_specs: Sequence,
+                 dataset: str, oe_dataset: Optional[str], datapath: str, logger: Logger,
+                 epochs: int, lr: float, wdk: float, milestones: Sequence[int], batch_size: int,
+                 objective: str = "hsc", ad_mode: str = "one_vs_rest",
+                 oe_limit_samples: Union[int, float, Sequence[int]] = INF,
+                 oe_limit_classes: Union[int, float] = INF,
+                 msms: Sequence[MSM] = (), workers: int = 0, seed: int = 0,
+                 mesh: Optional[Any] = None, nominal_label: int = 0,
+                 compute_dtype=jnp.float32):
+        assert ad_mode in AD_MODES, f"AD mode {ad_mode} unknown. Known modes are {AD_MODES}."
+        self.model = model
+        self.objective: Objective = OBJECTIVES[objective] if isinstance(objective, str) else objective
+        self.train_specs = list(train_specs or ())
+        self.test_specs = list(test_specs or ())
+        self.dsstr = dataset
+        self.oe_dsstr = oe_dataset
+        self.datapath = datapath
+        self.logger = logger if logger is not None else Logger("/tmp/eoe_tpu_logs", active=False)
+        self.epochs = epochs
+        self.lr = lr
+        self.wdk = wdk
+        self.milestones = list(milestones or ())
+        self.batch_size = batch_size
+        self.ad_mode = ad_mode
+        self.oe_limit_samples = oe_limit_samples
+        self.oe_limit_classes = oe_limit_classes
+        self.msms = list(msms or ())
+        self.workers = workers
+        self.seed = seed
+        self.mesh = mesh
+        self.nominal_label = nominal_label
+        self.compute_dtype = compute_dtype
+        self.center = None
+        self.ds = None  # pin a pre-loaded dataset (evolution runs, main/__init__.py:350-360)
+        self._jit_cache: Dict[Any, Callable] = {}
+        # throughput accounting (the reference has no such metric; SURVEY.md §5.1)
+        self.images_seen = 0
+        self.train_seconds = 0.0
+        self.epoch_rates: List[float] = []  # img/s per epoch (compute-only window)
+
+        self.logger.logsetup(self.setup_dict(), step=0)
+
+    # ------------------------------------------------------------- config
+
+    def setup_dict(self) -> dict:
+        return {
+            "model": type(self.model).__name__, "objective": self.objective.name,
+            "train_specs": self.train_specs, "test_specs": self.test_specs,
+            "dataset": self.dsstr, "oe_dataset": self.oe_dsstr, "datapath": self.datapath,
+            "epochs": self.epochs, "lr": self.lr, "wdk": self.wdk, "milestones": self.milestones,
+            "batch_size": self.batch_size, "ad_mode": self.ad_mode,
+            "oe_limit_samples": (self.oe_limit_samples if not isinstance(self.oe_limit_samples, (list, np.ndarray))
+                                 else list(map(int, self.oe_limit_samples))),
+            "oe_limit_classes": self.oe_limit_classes,
+            "msms": [str(m) for m in self.msms], "seed": self.seed,
+            "nominal_label": self.nominal_label,
+        }
+
+    def get_nominal_classes(self, cur_class: int) -> List[int]:
+        """Normal-class set per AD mode (ad_trainer.py:166-175)."""
+        if self.ad_mode == "one_vs_rest":
+            return [cur_class]
+        elif self.ad_mode == "leave_one_out":
+            return [c for c in range(no_classes(self.dsstr)) if c != cur_class]
+        raise NotImplementedError(f"AD mode {self.ad_mode} unknown.")
+
+    # ------------------------------------------------------------- model state
+
+    def init_state(self, key: jax.Array, ds, steps_per_epoch: int) -> TrainState:
+        sample = jnp.zeros((1, *ds.raw_shape), jnp.float32)
+        variables = self.model.init(key, sample, train=False)
+        params = variables.get("params", {})
+        batch_stats = variables.get("batch_stats", {})
+        tx = self.make_optimizer(steps_per_epoch)
+        return TrainState(params=params, batch_stats=batch_stats,
+                          opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+
+    def make_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
+        """Adam for all models; CLIP overrides with SGD+nesterov
+        (ad_trainer.py:380-384)."""
+        return make_optimizer("adam", self.lr, self.wdk, self.milestones, steps_per_epoch)
+
+    def apply_model(self, state: TrainState, x: jax.Array, train: bool):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if train and state.batch_stats:
+            feats, mut = self.model.apply(variables, x, train=True, mutable=["batch_stats"])
+            return feats, mut["batch_stats"]
+        feats = self.model.apply(variables, x, train=train,
+                                 mutable=False if not state.batch_stats else False)
+        return feats, state.batch_stats
+
+    # ------------------------------------------------------------- jitted steps
+
+    def _constrain_batch(self, x):
+        if self.mesh is not None:
+            return jax.lax.with_sharding_constraint(
+                x, meshlib.batch_sharding(self.mesh, x.ndim))
+        return x
+
+    def _preprocess(self, ds, x, labels, key, train: bool, part: str, rt_stats=None):
+        """One half-batch through (conditional ->) pipeline. ``part`` selects the
+        normal vs OE dataset of a CombinedDataset (train only). ``rt_stats`` are
+        traced (mean, std) arrays: per-class statistics enter as step INPUTS so
+        one compiled step serves every class/seed (no recompilation)."""
+        if isinstance(ds, CombinedDataset):
+            sub = ds.oe if part == "oe" else ds.normal
+        else:
+            sub = ds
+        k1, k2 = (jax.random.split(key) if key is not None else (None, None))
+        if train:
+            x = sub.train_conditional_pipeline(x, labels, k1, rt_stats)
+            x = sub.train_pipeline(x, k2, rt_stats)
+        else:
+            x = sub.test_conditional_pipeline(x, labels, k1, rt_stats)
+            x = sub.test_pipeline(x, k2, rt_stats)
+        return x
+
+    def _rt_stats(self, ds) -> Optional[Tuple[jax.Array, jax.Array]]:
+        stats = (ds.normal if isinstance(ds, CombinedDataset) else ds).stats
+        if stats is None:
+            return None
+        return (jnp.asarray(stats.mean, jnp.float32), jnp.asarray(stats.std, jnp.float32))
+
+    def _loss_kwargs(self, inputs):
+        kw = {"nominal_label": self.nominal_label}
+        if self.objective.uses_inputs:
+            kw["inputs"] = inputs
+        return kw
+
+    def make_train_step(self, ds, tx, has_oe: bool):
+        """Jitted single train step: normal half (+ OE half) with preprocessing
+        fused in. Used for non-resident (host-fed) datasets."""
+        return jax.jit(self._train_step_core(ds, tx, has_oe), donate_argnums=(0,))
+
+    def _train_step_core(self, ds, tx, has_oe: bool):
+        """Un-jitted step body shared by the per-step and per-epoch paths."""
+        objective = self.objective
+
+        def step(state, xn, ln, xo, lo, w, key, center, rt_stats):
+            kn, ko = jax.random.split(jax.random.fold_in(key, state.step))
+            xn = self._constrain_batch(xn)
+            xn = self._preprocess(ds, xn, ln, kn, True, "normal", rt_stats)
+            if has_oe:
+                xo = self._constrain_batch(xo)
+                xo = self._preprocess(ds, xo, lo, ko, True, "oe", rt_stats)
+                x = jnp.concatenate([xn, xo], axis=0)
+                labels = jnp.concatenate([ln, lo], axis=0)
+                weights = jnp.concatenate([w, w], axis=0)
+            else:
+                x, labels, weights = xn, ln, w
+            weights = weights * (labels >= 0)
+            x = x.astype(self.compute_dtype)
+
+            def loss_fn(params):
+                variables = {"params": params}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    feats, mut = self.model.apply(variables, x, train=True, mutable=["batch_stats"])
+                    new_bs = mut["batch_stats"]
+                else:
+                    feats = self.model.apply(variables, x, train=True)
+                    new_bs = state.batch_stats
+                feats = feats.astype(jnp.float32)
+                loss = objective.loss(feats, labels, center, weights=weights, **self._loss_kwargs(x))
+                return loss, (feats, new_bs)
+
+            (loss, (feats, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            scores = objective.score(feats, center, **self._loss_kwargs(x)).reshape(-1)
+            new_state = state.replace(params=new_params, opt_state=new_opt,
+                                      batch_stats=new_bs, step=state.step + 1)
+            return new_state, (loss, scores, labels, weights)
+
+        return step
+
+    def make_eval_step(self, ds):
+        objective = self.objective
+
+        def step(state: TrainState, x, labels, center, rt_stats):
+            x = self._constrain_batch(x)
+            x = self._preprocess(ds, x, labels, None, False, "normal", rt_stats)
+            x = x.astype(self.compute_dtype)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            feats = self.model.apply(variables, x, train=False)
+            feats = feats.astype(jnp.float32)
+            return objective.score(feats, center, **self._loss_kwargs(x)).reshape(-1)
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------- metric prep
+
+    def prepare_metric(self, clsstr: str, ds, state: TrainState, seed: int) -> Optional[jax.Array]:
+        """DSVDD center: mean feature of the normal train samples under the
+        initial model (dsvdd.py:10-21; deviation: global mean instead of
+        mean-of-batch-means, and BN running stats are not updated)."""
+        if not self.objective.needs_center:
+            return None
+        if self.objective.name != "dsvdd":
+            return None
+        train_set = ds.train_set
+        B = self.batch_size
+        n = len(train_set)
+        feat_sum = None
+        count = 0.0
+        normal_ds = ds.normal if isinstance(ds, CombinedDataset) else ds
+        rt_stats = self._rt_stats(ds)
+
+        def fwd(st, x, labels, mask, key, rt_stats):
+            x = normal_ds.train_conditional_pipeline(x, labels, key, rt_stats)
+            x = normal_ds.train_pipeline(x, key, rt_stats)
+            variables = {"params": st.params}
+            if st.batch_stats:
+                variables["batch_stats"] = st.batch_stats
+            feats = self.model.apply(variables, x.astype(self.compute_dtype), train=False)
+            return (feats.astype(jnp.float32) * mask[:, None]).sum(axis=0)
+
+        fwd = self._cached(("center_fwd", type(ds).__name__, tuple(ds.raw_shape), B),
+                           lambda: jax.jit(fwd))
+        for bi, i in enumerate(range(0, n, B)):
+            pos = np.arange(i, min(i + B, n))
+            x = train_set.gather(pos)
+            mask = np.ones(B, np.float32)
+            if len(pos) < B:
+                x = np.concatenate([x, np.zeros((B - len(pos), *x.shape[1:]), x.dtype)])
+                mask[len(pos):] = 0.0
+            labels = jnp.full((B,), self.nominal_label)
+            s = fwd(state, jnp.asarray(x, jnp.float32) / 255.0, labels,
+                    jnp.asarray(mask), jax.random.key(bi), rt_stats)
+            feat_sum = s if feat_sum is None else feat_sum + s
+            count += len(pos)
+        return dsvdd_center(feat_sum, jnp.asarray(count))
+
+    # ------------------------------------------------------------- grid driver
+
+    def run(self, run_classes: Optional[List[int]] = None, run_seeds: int = 1,
+            load: Optional[List[List[str]]] = None, test: bool = True,
+            train: bool = True) -> Tuple[Optional[list], dict]:
+        """Iterate classes × seeds: build dataset, train, evaluate, snapshot
+        (parity: ad_trainer.py:177-354)."""
+        self.logger.logsetup({"run_classes": run_classes, "run_seeds": run_seeds,
+                              "load": load}, step=1)
+        classes = str_labels(self.dsstr)
+        run_classes = run_classes if run_classes is not None else list(range(len(classes)))
+        train_cls_rocs = Result(len(classes))
+        eval_cls_rocs = Result(len(classes))
+        eval_cls_prcs = Result(len(classes))
+        states: List[list] = [[] for _ in range(len(classes))]
+        assert self.ds is None or len(run_classes) == 1, \
+            "pre-loading DS (setting trainer.ds) only allowed for one class"
+
+        for c in run_classes:
+            cstr = classes[c]
+            for it in range(run_seeds):
+                self.logger.print(f'------ start training cls {c} "{cstr}" (seed {it}) ------')
+                cur_load = None
+                if load is not None and len(load) > c and len(load[c]) > it:
+                    cur_load = load[c][it]
+
+                rng = np.random.default_rng([max(self.seed, 0), c, it])
+                key = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.key(self.seed), c), it)
+                ds = self._build_dataset(c, rng, cur_load)
+
+                state = roc = None
+                for attempt in range(5):
+                    try:
+                        if train:
+                            state, roc = self.train_cls(ds, c, cstr, it, key, cur_load)
+                        else:
+                            state, _ = self._init_or_load(ds, key, cur_load, steps_per_epoch=1)
+                            roc = None
+                        break
+                    except NanGradientsError:
+                        self.logger.warning(
+                            f'Gradients got NaN for class {c} "{cstr}" and seed {it}. '
+                            f'Happened {attempt} times so far. Try once more.')
+                        key = jax.random.fold_in(key, 7 + attempt)
+                        ds = self._build_dataset(c, rng, None)
+                        if attempt == 4:
+                            state, roc = None, None
+                            self.logger.warning(
+                                f'Gradients got NaN for class {c} "{cstr}" and seed {it}. Giving up.')
+                states[c].append(state)
+                train_cls_rocs[c].append(roc)
+
+                if test and state is not None:
+                    eroc, eprc = self.eval_cls(state, ds, c, cstr, it)
+                else:
+                    eroc, eprc = None, None
+                eval_cls_rocs[c].append(eroc)
+                eval_cls_prcs[c].append(eprc)
+
+                if state is not None:
+                    self.snapshot(f"snapshot_cls{c}_it{it}", state, self.epochs, ds.ds_statistics)
+                    if not Trainer.KEEP_SNAPSHOT_IN_RAM:
+                        states[c][-1] = None
+                del ds
+
+            train_cls_rocs.set_mean(c, self.logger.plot_many(
+                train_cls_rocs[c], None, name=f"training_cls{c}-{cstr}_roc"))
+            eval_cls_rocs.set_mean(c, self.logger.plot_many(
+                eval_cls_rocs[c], None, name=f"eval_cls{c}-{cstr}_roc"))
+            eval_cls_prcs.set_mean(c, self.logger.plot_many(
+                eval_cls_prcs[c], None, name=f"eval_cls{c}-{cstr}_prc"))
+
+        # overview + results.json (parity: ad_trainer.py:315-354)
+        if any(t is not None for t in train_cls_rocs.means()):
+            aucs = [m.auc for m in train_cls_rocs.means() if m is not None]
+            self.logger.logtxt(f"Training: Overall {np.mean(aucs) * 100:04.2f}% "
+                               f"+- {np.std(aucs) * 100:04.2f} AUC.")
+            self.logger.plot_many(train_cls_rocs.means(), classes, name="training_roc")
+
+        if test:
+            e_aucs = [m.auc for m in eval_cls_rocs.means() if m is not None]
+            e_aps = [m.avg_prec for m in eval_cls_prcs.means() if m is not None]
+            mean_auc = float(np.mean(e_aucs)) if e_aucs else float("nan")
+            std_auc = float(np.std(e_aucs)) if e_aucs else float("nan")
+            mean_ap = float(np.mean(e_aps)) if e_aps else float("nan")
+            std_ap = float(np.std(e_aps)) if e_aps else float("nan")
+            self.logger.plot_many(eval_cls_rocs.means(), classes, name="eval_roc")
+            self.logger.plot_many(eval_cls_prcs.means(), classes, name="eval_prc")
+            self.logger.logtxt("--------------- OVERVIEW ------------------")
+            self.logger.logtxt(f"Eval: Overall {mean_ap * 100:04.2f}% +- {std_ap * 100:04.2f}% AvgPrec.")
+            for m, cs in zip(eval_cls_rocs.means(), classes):
+                if m is not None:
+                    self.logger.logtxt(f'Eval: Class "{cs}" yields {m.auc * 100:04.2f}% '
+                                       f'+- {getattr(m, "std", 0.0) * 100:04.2f}% AUC.')
+            self.logger.logtxt(f"Eval: Overall {mean_auc * 100:04.2f}% +- {std_auc * 100:04.2f}% AUC.")
+        else:
+            mean_auc = std_auc = mean_ap = float("nan")
+
+        self.logger.logjson("results", {
+            "eval_mean_auc": mean_auc, "eval_std_auc": std_auc, "eval_mean_avg_prec": mean_ap,
+            "eval_cls_rocs": [[r.get_score() if r is not None else None for r in cr]
+                              for cr in eval_cls_rocs],
+            "classes": classes,
+        })
+        self.logger.flush_scalars()
+        ret_states = states if Trainer.KEEP_SNAPSHOT_IN_RAM else None
+        return ret_states, {
+            "mean_auc": mean_auc, "mean_avg_prec": mean_ap, "std_auc": std_auc,
+            "cls_aucs": [[r.get_score() if r is not None else None for r in cr]
+                         for cr in eval_cls_rocs],
+        }
+
+    def _build_dataset(self, c: int, rng: np.random.Generator, cur_load: Optional[str]):
+        if self.ds is not None:
+            return self.ds
+        return load_dataset(
+            self.dsstr, self.datapath, self.get_nominal_classes(c), self.nominal_label,
+            self.train_specs, self.test_specs, self.logger, self.oe_dsstr,
+            self.oe_limit_samples, self.oe_limit_classes, self.msms,
+            ds_statistics=self.load_ds_statistics(cur_load), rng=rng)
+
+    def _init_or_load(self, ds, key: jax.Array, cur_load: Optional[str],
+                      steps_per_epoch: int) -> Tuple[TrainState, int]:
+        state = self.init_state(key, ds, steps_per_epoch)
+        start_epoch = 0
+        if cur_load is not None:
+            state, start_epoch = self.load(cur_load, state)
+        return state, start_epoch
+
+    # ------------------------------------------------------------- train one cls
+
+    def train_cls(self, ds, cls: int, clsstr: str, it: int, key: jax.Array,
+                  cur_load: Optional[str] = None) -> Tuple[TrainState, Optional[M.ROC]]:
+        train_set = ds.train_set
+        combined = isinstance(ds, CombinedDataset)
+        oe_set = ds.oe.train_set if combined else None
+        has_oe = combined and len(oe_set) > 0
+        sampler = BalancedEpochSampler(
+            len(train_set), len(oe_set) if has_oe else 0, self.batch_size,
+            int(jax.random.randint(jax.random.fold_in(key, 1), (), 0, 2 ** 31 - 1)))
+        steps_per_epoch = sampler.steps
+
+        state, start_epoch = self._init_or_load(ds, key, cur_load, steps_per_epoch)
+        tx = self.make_optimizer(steps_per_epoch)
+
+        if it == 0 and self.logger.active:
+            prev = ds.normal.preview(40) if combined else ds.preview(40)
+            self.logger.logimg(f"training_cls{cls}-{clsstr}_preview", prev)
+
+        center = self.center = self.prepare_metric(clsstr, ds, state, it)
+        rt_stats = self._rt_stats(ds)
+
+        normal_ds = ds.normal if combined else ds
+        resident = _is_resident(train_set) and (not has_oe or _is_resident(oe_set))
+        if resident:
+            Xn = jnp.asarray(train_set.gather_all())
+            Ln = jnp.asarray(normal_ds.binary_targets(train_set))
+            Xo = jnp.asarray(oe_set.gather_all()) if has_oe else None
+            Lo = jnp.asarray(ds.oe.binary_targets(oe_set)) if has_oe else None
+            # steps_per_epoch is part of the key: the LR schedule baked into tx
+            # depends on it (milestone boundaries are epoch*steps)
+            epoch_fn = self._cached(
+                ("epoch", type(ds).__name__, has_oe, Xn.shape[1:], self.batch_size, steps_per_epoch),
+                lambda: self.make_train_epoch_resident(ds, tx, has_oe))
+        else:
+            Ln_all = normal_ds.binary_targets(train_set)
+            Lo_all = ds.oe.binary_targets(oe_set) if has_oe else None
+            step_fn = self._cached(
+                ("step", type(ds).__name__, has_oe, tuple(ds.raw_shape), self.batch_size, steps_per_epoch),
+                lambda: self.make_train_step(ds, tx, has_oe))
+
+        cls_roc = None
+        epoch_key = jax.random.fold_in(key, 2)
+        for ep in range(start_epoch, self.epochs):
+            t0 = time.time()
+            idx_n, idx_o, w = sampler.epoch()
+            ekey = jax.random.fold_in(epoch_key, ep)
+            if resident:
+                state, (losses, scores, labels, weights) = epoch_fn(
+                    state, Xn, Ln, Xo, Lo,
+                    jnp.asarray(idx_n), jnp.asarray(idx_o) if has_oe else None,
+                    jnp.asarray(w), ekey, center, rt_stats)
+                ep_scores = np.asarray(scores).reshape(-1)
+                ep_labels = np.asarray(labels).reshape(-1)
+                ep_weights = np.asarray(weights).reshape(-1)
+                ep_losses = np.asarray(losses)
+            else:
+                outs = []
+                for s in range(sampler.steps):
+                    xn = jnp.asarray(train_set.gather(idx_n[s]))
+                    ln = jnp.asarray(Ln_all[idx_n[s]])
+                    if has_oe:
+                        xo = jnp.asarray(oe_set.gather(idx_o[s]))
+                        lo = jnp.asarray(Lo_all[idx_o[s]])
+                    else:
+                        xo = lo = None
+                    state, out = step_fn(state, xn, ln, xo, lo, jnp.asarray(w[s]), ekey, center, rt_stats)
+                    outs.append(jax.tree_util.tree_map(np.asarray, out))
+                ep_losses = np.asarray([o[0] for o in outs])
+                ep_scores = np.concatenate([o[1] for o in outs])
+                ep_labels = np.concatenate([o[2] for o in outs])
+                ep_weights = np.concatenate([o[3] for o in outs])
+
+            # throughput accounting (after blocking on the epoch's arrays)
+            dt = time.time() - t0
+            n_imgs = int(ep_weights.sum())
+            self.images_seen += n_imgs
+            self.train_seconds += dt
+            self.epoch_rates.append(n_imgs / max(dt, 1e-9))
+
+            keep = ep_weights > 0
+            ep_scores, ep_labels = ep_scores[keep], ep_labels[keep]
+            if np.isnan(ep_scores).sum() > 0:
+                raise NanGradientsError()
+            if (ep_labels == 1).sum() > 0:
+                cls_roc = M.roc_curve(ep_labels, ep_scores)
+                self.logger.add_scalar(f"Training: CLS{cls} SEED{it} AUC", cls_roc.auc * 100, ep)
+            self.logger.add_scalar(f"training_cls{cls}_seed{it}_loss", float(ep_losses.mean()), ep)
+            self.logger.print(
+                f"cls {cls} seed {it} epoch {ep + 1}/{self.epochs}: loss {ep_losses.mean():.5f}"
+                + (f", train AUC {cls_roc.auc * 100:.2f}%" if cls_roc is not None else "")
+                + f", {n_imgs / max(time.time() - t0, 1e-9):.0f} img/s")
+
+        return state, cls_roc
+
+    def make_train_epoch_resident(self, ds, tx, has_oe: bool):
+        core = self._train_step_core(ds, tx, has_oe)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def epoch(state, Xn, Ln, Xo, Lo, idx_n, idx_o, w, key, center, rt_stats):
+            def body(state, per_step):
+                i_n, i_o, w_s = per_step
+                xn = jnp.take(Xn, i_n, axis=0)
+                ln = jnp.take(Ln, i_n, axis=0)
+                xo = jnp.take(Xo, i_o, axis=0) if has_oe else None
+                lo = jnp.take(Lo, i_o, axis=0) if has_oe else None
+                state, out = core(state, xn, ln, xo, lo, w_s, key, center, rt_stats)
+                return state, out
+
+            steps = idx_n.shape[0]
+            dummy = jnp.zeros((steps, 1), jnp.int32)
+            state, outs = jax.lax.scan(body, state, (idx_n, idx_o if has_oe else dummy, w))
+            return state, outs
+
+        return epoch
+
+    def _cached(self, cache_key, builder):
+        if cache_key not in self._jit_cache:
+            self._jit_cache[cache_key] = builder()
+        return self._jit_cache[cache_key]
+
+    # ------------------------------------------------------------- eval
+
+    def eval_cls(self, state: TrainState, ds, cls: int, clsstr: str, it: int
+                 ) -> Tuple[Optional[M.ROC], Optional[M.PRC]]:
+        """Evaluate on the full test split (parity: ad_trainer.py:473-550)."""
+        test_set = ds.test_set
+        normal_ds = ds.normal if isinstance(ds, CombinedDataset) else ds
+        labels = normal_ds.binary_targets(test_set)
+        n = len(test_set)
+        B = self.batch_size
+        eval_fn = self._cached(("eval", type(ds).__name__, tuple(ds.raw_shape), B),
+                               lambda: self.make_eval_step(ds))
+        rt_stats = self._rt_stats(ds)
+
+        if it == 0 and self.logger.active:
+            self.logger.logimg(f"eval_cls{cls}-{clsstr}_preview",
+                               normal_ds.preview(20, train=False))
+
+        scores = np.empty(n, dtype=np.float32)
+        for i in range(0, n, B):
+            pos = np.arange(i, min(i + B, n))
+            x = test_set.gather(pos)
+            lb = labels[pos]
+            if len(pos) < B:  # pad to the compiled batch shape, then slice off
+                pad = B - len(pos)
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
+            out = eval_fn(state, jnp.asarray(x), jnp.asarray(lb), self.center, rt_stats)
+            scores[pos] = np.asarray(out)[: len(pos)]
+
+        keep = labels >= 0  # 'unlabeled' filtering (ad_trainer.py:517-521)
+        if (labels == 0).sum() > 0 and (labels == 1).sum() > 0:
+            cls_roc = M.roc_curve(labels[keep], scores[keep])
+            cls_prc = M.precision_recall_curve(labels[keep], scores[keep])
+            self.logger.logtxt(
+                f'Eval: class "{clsstr}" yields {cls_roc.auc * 100:04.2f}% AUC and '
+                f"{cls_prc.avg_prec * 100:04.2f}% average precision (seed {it}).")
+        else:
+            cls_roc = cls_prc = None
+
+        ascore_dict = self._anomaly_score_dict(ds, scores)
+        self.logger.logjson(f"eval_cls{cls}_it{it}_anomaly_scores", ascore_dict)
+        return cls_roc, cls_prc
+
+    def _anomaly_score_dict(self, ds, scores: np.ndarray) -> dict:
+        """Per-sample anomaly scores keyed by test index (custom datasets key by
+        relative file path instead, handled by their subset)."""
+        test_set = (ds.normal if isinstance(ds, CombinedDataset) else ds).test_set
+        keys = getattr(test_set, "sample_keys", None)
+        if keys is not None:
+            return {str(k): float(v) for k, v in zip(keys, scores)}
+        return {int(i): float(v) for i, v in zip(test_set.indices, scores)}
+
+    # ------------------------------------------------------------- snapshots
+
+    def snapshot(self, name: str, state: TrainState, epoch: int,
+                 ds_statistics: Optional[dict]) -> str:
+        payload = {
+            "params": serialization.to_state_dict(state.params),
+            "batch_stats": serialization.to_state_dict(state.batch_stats),
+            "opt_state": serialization.to_bytes(state.opt_state),
+            "epoch": epoch,
+            "ds_statistics": ds_statistics or {},
+            "setup": self.setup_dict(),
+        }
+        return self.logger.snapshot(name, payload)
+
+    def load(self, path: str, state: TrainState) -> Tuple[TrainState, int]:
+        """Load a snapshot into an initialized state; returns (state, epoch)
+        (parity: ad_trainer.py:552-598). Feature-model-only snapshots for
+        CustomNets are detected by the absence of the 'params' key."""
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        if "params" not in payload:
+            # assume a feature-model-only snapshot of a CustomNet
+            fparams = serialization.from_state_dict(
+                jax.tree_util.tree_map(lambda x: x, payload), payload)
+            params = dict(state.params)
+            params["feature_model"] = fparams
+            self.logger.print("Loaded pre-trained weights for feature model of CustomNet.")
+            return state.replace(params=params), 0
+        params = serialization.from_state_dict(state.params, payload["params"])
+        batch_stats = serialization.from_state_dict(state.batch_stats, payload.get("batch_stats", {}))
+        opt_state = state.opt_state
+        if payload.get("opt_state"):
+            opt_state = serialization.from_bytes(state.opt_state, payload["opt_state"])
+        epoch = int(payload.get("epoch", 0))
+        self.logger.print(f"Loaded snapshot at epoch {epoch}")
+        return state.replace(params=params, batch_stats=batch_stats, opt_state=opt_state), epoch
+
+    def load_ds_statistics(self, path: Optional[str]) -> Optional[dict]:
+        if path is None:
+            return None
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        stats = payload.get("ds_statistics") or None
+        return {k: (v.tolist() if hasattr(v, "tolist") else v) for k, v in stats.items()} if stats else None
+
+    def load_epochs_only(self, path: Optional[str]) -> int:
+        if path is None:
+            return 0
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        return int(payload.get("epoch", 0))
+
+    # ------------------------------------------------------------- throughput
+
+    @property
+    def images_per_second(self) -> float:
+        return self.images_seen / self.train_seconds if self.train_seconds > 0 else 0.0

@@ -1,0 +1,1 @@
+from eoe_tpu.utils.logger import Logger  # noqa: F401

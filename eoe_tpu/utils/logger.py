@@ -1,0 +1,292 @@
+"""Run logger: reproduces the reference's on-disk output contract.
+
+Parity target: /root/reference/src/eoe/utils/logger.py and README.md:168-247.
+A run directory ``log_{YYYYMMDDHHMMSS}_{comment}`` contains:
+  print.txt / logtxt.txt / warnings.txt   — text streams
+  setup.json                              — full serialized config
+  src.tar.gz                              — archive of the framework source (provenance)
+  results.json, eval_cls{i}_it{j}_anomaly_scores.json — metrics
+  *.pdf                                   — ROC/PRC curves with mean curves
+  *.png                                   — preview grids
+  snapshots/snapshot_cls{i}_it{j}.msgpack — model+opt+epoch+ds_statistics
+  tensorboard events (optional)           — scalars/histograms
+Continued runs log into ``{old_dir}---CNTD`` (main/__init__.py:299,338).
+"""
+
+import json
+import os
+import os.path as pt
+import tarfile
+import time
+from datetime import datetime
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from eoe_tpu.ops.metrics import PRC, ROC
+
+
+class JsonEncoder(json.JSONEncoder):
+    def default(self, o):
+        if isinstance(o, (np.integer,)):
+            return int(o)
+        if isinstance(o, (np.floating,)):
+            return float(o)
+        if isinstance(o, np.ndarray):
+            return o.tolist()
+        if isinstance(o, (set, tuple)):
+            return list(o)
+        if o is None or isinstance(o, (bool, int, float, str, list, dict)):
+            return o
+        try:
+            import jax
+            if isinstance(o, jax.Array):
+                return np.asarray(o).tolist()
+        except Exception:
+            pass
+        return repr(o)
+
+
+def mean_roc(rocs: Sequence[ROC], n_points: int = 200) -> Optional[ROC]:
+    """Average multiple ROC curves on a common FPR grid (role of
+    logger.py:94-122 mean_plot)."""
+    rocs = [r for r in rocs if r is not None]
+    if not rocs:
+        return None
+    grid = np.linspace(0, 1, n_points)
+    tprs = [np.interp(grid, r.fpr, r.tpr) for r in rocs]
+    mean_tpr = np.mean(tprs, axis=0)
+    aucs = [r.auc for r in rocs]
+    roc = ROC(tpr=mean_tpr, fpr=grid, thresholds=np.full(n_points, np.nan), auc=float(np.mean(aucs)))
+    return roc
+
+
+class Timer:
+    def __init__(self, logger, name):
+        self.logger, self.name = logger, name
+
+    def __enter__(self):
+        self.t0 = time.time()
+        return self
+
+    def __exit__(self, *a):
+        self.logger.print(f"{self.name} took {time.time() - self.t0:.3f}s")
+
+
+class Logger:
+    def __init__(self, logdir: str, comment: str = "", noname: bool = False, active: bool = True,
+                 tensorboard: bool = False, archive_source: bool = True):
+        """
+        @param logdir: parent directory for run directories. A '---CNTD' suffix
+            on an existing directory continues that run (parity:
+            main/__init__.py:299,338).
+        @param comment: appended to the timestamped run directory name.
+        @param noname: use `logdir` directly as the run directory.
+        @param active: inactive loggers swallow all output (evolution runs
+            deactivate logging after the first individual, evolve/__init__.py:68-69).
+        """
+        self.active = active
+        self.start = datetime.now()
+        if noname:
+            self.dir = logdir
+        else:
+            name = f"log_{self.start.strftime('%Y%m%d%H%M%S')}{'_' + comment if comment else ''}"
+            self.dir = pt.join(logdir, name)
+        if self.active:
+            os.makedirs(self.dir, exist_ok=True)
+            os.makedirs(pt.join(self.dir, "snapshots"), exist_ok=True)
+        self.comment = comment
+        self._scalars = {}
+        self.tb_writer = None
+        if tensorboard and self.active:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb_writer = SummaryWriter(log_dir=pt.join(self.dir, "tb"))
+            except Exception:
+                self.tb_writer = None
+        self._setup_logged = 0
+        if archive_source and self.active:
+            self.log_source_archive()
+
+    # ---------------------------------------------------------- text
+
+    def _append(self, fname: str, msg: str):
+        if not self.active:
+            return
+        with open(pt.join(self.dir, fname), "a") as f:
+            f.write(msg + "\n")
+
+    def print(self, msg: str, fps: bool = False, err: bool = False):
+        print(msg)
+        self._append("print.txt", str(msg))
+
+    def logtxt(self, msg: str, print_msg: bool = True):
+        if print_msg:
+            print(msg)
+        self._append("logtxt.txt", str(msg))
+
+    def warning(self, msg: str, print_msg: bool = True):
+        if print_msg:
+            print(f"WARNING: {msg}")
+        self._append("warnings.txt", str(msg))
+
+    def timeit(self, name: str = "") -> Timer:
+        return Timer(self, name)
+
+    # ---------------------------------------------------------- json / setup
+
+    def logjson(self, name: str, d: dict):
+        if not self.active:
+            return
+        with open(pt.join(self.dir, f"{name}.json"), "w") as f:
+            json.dump(d, f, indent=2, cls=JsonEncoder)
+
+    def logsetup(self, setup: dict, step: int = 0):
+        """setup.json (step 0) and setup_v{n}.json for later additions
+        (role of logger.py:342-361)."""
+        if not self.active:
+            return
+        name = "setup" if step == 0 else f"setup_v{step}"
+        self.logjson(name, setup)
+        self._setup_logged = step
+
+    def log_source_archive(self):
+        """Archive the framework source tree for provenance (logger.py:363-378)."""
+        try:
+            import eoe_tpu
+            src_root = pt.dirname(pt.abspath(eoe_tpu.__file__))
+            out = pt.join(self.dir, "src.tar.gz")
+            if not pt.exists(out):
+                with tarfile.open(out, "w:gz") as tar:
+                    tar.add(src_root, arcname="eoe_tpu",
+                            filter=lambda ti: None if "__pycache__" in ti.name else ti)
+        except Exception as e:  # never fail a run over provenance archiving
+            self.warning(f"could not archive source: {e}", print_msg=False)
+
+    # ---------------------------------------------------------- scalars
+
+    def add_scalar(self, name: str, value: float, step: int):
+        if not self.active:
+            return
+        self._scalars.setdefault(name, []).append((int(step), float(value)))
+        if self.tb_writer is not None:
+            self.tb_writer.add_scalar(name, value, step)
+
+    def add_histogram(self, name: str, values, step: int):
+        if self.active and self.tb_writer is not None:
+            import torch
+            self.tb_writer.add_histogram(name, torch.as_tensor(np.asarray(values)), step)
+
+    def flush_scalars(self):
+        if not self.active or not self._scalars:
+            return
+        with open(pt.join(self.dir, "scalars.json"), "w") as f:
+            json.dump(self._scalars, f, cls=JsonEncoder)
+
+    # ---------------------------------------------------------- images
+
+    def logimg(self, name: str, images: np.ndarray, nrow: int = 8, rowheaders: Optional[List[str]] = None):
+        """Save an image grid PNG (role of logger.py:202-295). `images` is
+        (n, h, w, c) float [0,1] or uint8."""
+        if not self.active:
+            return
+        try:
+            from PIL import Image
+        except ImportError:
+            return
+        imgs = np.asarray(images)
+        if imgs.dtype != np.uint8:
+            imgs = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+        n, h, w, c = imgs.shape
+        ncol = nrow
+        nrows = int(np.ceil(n / ncol))
+        grid = np.zeros((nrows * (h + 2), ncol * (w + 2), c), dtype=np.uint8)
+        for i in range(n):
+            r, col = divmod(i, ncol)
+            grid[r * (h + 2) + 1:r * (h + 2) + 1 + h, col * (w + 2) + 1:col * (w + 2) + 1 + w] = imgs[i]
+        if c == 1:
+            grid = grid[..., 0]
+        Image.fromarray(grid).save(pt.join(self.dir, f"{name}.png"))
+
+    # ---------------------------------------------------------- curves
+
+    def plot_many(self, curves: Sequence, labels: Optional[Sequence[str]] = None,
+                  name: str = "roc", step: int = 0):
+        """Plot multiple ROC/PRC curves + their mean into a PDF
+        (logger.py:416-455); returns the mean curve."""
+        curves = list(curves or [])
+        kept = [c for c in curves if c is not None]
+        if not kept:
+            return None
+        is_roc = isinstance(kept[0], ROC)
+        mean = mean_roc(kept) if is_roc else None
+        if self.active:
+            try:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+                fig, ax = plt.subplots(figsize=(5, 5))
+                for i, cur in enumerate(curves):
+                    if cur is None:
+                        continue
+                    lbl = labels[i] if labels is not None and i < len(labels) else None
+                    if is_roc:
+                        ax.plot(cur.fpr, cur.tpr, alpha=0.4,
+                                label=f"{lbl} ({cur.auc * 100:.1f}%)" if lbl else None)
+                    else:
+                        ax.plot(cur.rec, cur.prec, alpha=0.4,
+                                label=f"{lbl} ({cur.avg_prec * 100:.1f}%)" if lbl else None)
+                if is_roc and mean is not None and len(kept) > 1:
+                    ax.plot(mean.fpr, mean.tpr, "k-", label=f"mean ({mean.auc * 100:.1f}%)")
+                ax.set_xlabel("FPR" if is_roc else "Recall")
+                ax.set_ylabel("TPR" if is_roc else "Precision")
+                if labels is not None or len(kept) > 1:
+                    ax.legend(fontsize=6)
+                fig.savefig(pt.join(self.dir, f"{name}.pdf"), bbox_inches="tight")
+                plt.close(fig)
+            except Exception as e:
+                self.warning(f"plot_many({name}) failed: {e}", print_msg=False)
+        if is_roc:
+            # mean curve with the seed-wise AUC std attached (ad_trainer.py:341)
+            return _MeanROC(mean.tpr, mean.fpr, mean.thresholds, mean.auc,
+                            float(np.std([c.auc for c in kept])))
+        else:
+            aps = [c.avg_prec for c in kept]
+            return _MeanPRC(kept[0].prec, kept[0].rec, kept[0].thresholds,
+                            float(np.mean(aps)), float(np.std(aps)))
+
+    # ---------------------------------------------------------- snapshots
+
+    def snapshot_path(self, name: str) -> str:
+        return pt.join(self.dir, "snapshots", f"{name}.msgpack")
+
+    def snapshot(self, name: str, payload: dict) -> str:
+        """Serialize {'params', 'batch_stats', 'opt_state', 'epoch',
+        'ds_statistics', ...} (role of logger.py:318-340)."""
+        if not self.active:
+            return ""
+        from flax import serialization
+        path = self.snapshot_path(name)
+        os.makedirs(pt.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(payload))
+        return path
+
+
+class _MeanROC(ROC):
+    """ROC with seed-wise std attached."""
+    def __new__(cls, tpr, fpr, thresholds, auc, std=0.0):
+        self = super().__new__(cls, tpr, fpr, thresholds, auc)
+        return self
+
+    def __init__(self, tpr, fpr, thresholds, auc, std=0.0):
+        self.std = std
+
+
+class _MeanPRC(PRC):
+    def __new__(cls, prec, rec, thresholds, avg_prec, std=0.0):
+        self = super().__new__(cls, prec, rec, thresholds, avg_prec)
+        return self
+
+    def __init__(self, prec, rec, thresholds, avg_prec, std=0.0):
+        self.std = std

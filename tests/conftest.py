@@ -1,0 +1,25 @@
+"""Test config: force CPU with 8 virtual devices so multi-chip sharding paths
+are exercised without TPU hardware (the standard JAX substitute for a cluster,
+see SURVEY.md §4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("EOE_TPU_FAKE_DATA", "1")
+
+import jax  # noqa: E402
+
+# a sitecustomize may have pre-registered a TPU backend and overridden
+# jax_platforms; force CPU after import as well
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

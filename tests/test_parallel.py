@@ -1,0 +1,68 @@
+"""Multi-device sharding tests on the 8-virtual-CPU-device mesh (SURVEY.md §4:
+the standard JAX substitute for multi-chip tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from eoe_tpu.parallel import mesh as meshlib
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
+    return meshlib.make_mesh(meshlib.MeshConfig(data=8, model=1))
+
+
+def test_mesh_shape(mesh8):
+    assert mesh8.shape == {"data": 8, "model": 1}
+
+
+def test_mesh_config_resolution():
+    assert meshlib.MeshConfig(data=-1, model=2).resolve(8) == (4, 2)
+    with pytest.raises(ValueError):
+        meshlib.MeshConfig(data=8, model=2).resolve(8)
+
+
+def test_shard_batch_places_on_devices(mesh8):
+    batch = {"x": np.zeros((16, 8, 8, 3)), "y": np.zeros((16,))}
+    out = meshlib.shard_batch(mesh8, batch)
+    assert len(out["x"].sharding.device_set) == 8
+    assert out["x"].sharding.spec == P("data", None, None, None)
+
+
+def test_data_parallel_gradients_match_single_device(mesh8):
+    """A batch-sharded jitted loss must produce the same gradients as the
+    unsharded computation (XLA inserts the all-reduce)."""
+    w = jnp.ones((12, 4))
+    x = np.random.default_rng(0).normal(size=(16, 12)).astype(np.float32)
+
+    def loss(w, x):
+        return jnp.sum((x @ w) ** 2) / x.shape[0]
+
+    g_ref = jax.grad(loss)(w, jnp.array(x))
+
+    xs = jax.device_put(x, meshlib.batch_sharding(mesh8, 2))
+    ws = jax.device_put(w, meshlib.replicated(mesh8))
+    g_sharded = jax.jit(jax.grad(loss))(ws, xs)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_ref), rtol=1e-5)
+
+
+def test_trainer_with_mesh_runs(tmp_path, mesh8):
+    from tests.test_trainer import make_trainer
+    trainer = make_trainer(tmp_path, "hsc", epochs=1, mesh=mesh8)
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert np.isfinite(res["mean_auc"])
+
+
+def test_param_shardings_tp_rules(mesh8):
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=4, model=2))
+    params = {"block": {"mlp_up": {"kernel": np.zeros((64, 128))},
+                        "mlp_down": {"kernel": np.zeros((128, 64))},
+                        "other": {"kernel": np.zeros((64, 64))}}}
+    shardings = meshlib.param_shardings(mesh, params)
+    assert shardings["block"]["mlp_up"]["kernel"].spec == P(None, "model")
+    assert shardings["block"]["mlp_down"]["kernel"].spec == P("model", None)
+    assert shardings["block"]["other"]["kernel"].spec == P()

@@ -1,0 +1,113 @@
+"""Pipeline compiler: spec resolution, normalization placeholders, conditional
+(MSM) transforms (reference: bases.py:293-468, transformations.py:23-61)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eoe_tpu.ops.preprocess import (CLIP_MEAN, CLIP_STD, DatasetStats, PipelineError,
+                                    compile_conditional, compile_pipeline)
+
+
+@pytest.fixture
+def imgs(rng):
+    return (rng.random((8, 16, 16, 3)) * 255).astype(np.uint8)
+
+
+def test_uint8_to_float(imgs):
+    fn = compile_pipeline([])
+    out = np.asarray(fn(jnp.array(imgs)))
+    np.testing.assert_allclose(out, imgs.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_normalize_placeholder_requires_stats():
+    with pytest.raises(PipelineError):
+        compile_pipeline(["normalize"], stats=None)
+
+
+def test_normalize_placeholder(imgs):
+    stats = DatasetStats((0.5, 0.4, 0.3), (0.2, 0.2, 0.2))
+    fn = compile_pipeline(["normalize"], stats)
+    out = np.asarray(fn(jnp.array(imgs)))
+    ref = (imgs / 255.0 - np.array(stats.mean)) / np.array(stats.std)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_normalize_runtime_stats_override(imgs):
+    stats = DatasetStats((0.5, 0.4, 0.3), (0.2, 0.2, 0.2))
+    fn = compile_pipeline(["normalize"], stats)
+    rt = (jnp.array([0.1, 0.1, 0.1]), jnp.array([0.5, 0.5, 0.5]))
+    out = np.asarray(fn(jnp.array(imgs), rt_stats=rt))
+    ref = (imgs / 255.0 - 0.1) / 0.5
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_resize_and_crop(imgs):
+    fn = compile_pipeline([{"op": "resize", "size": 24}, {"op": "center_crop", "size": 20}])
+    assert fn(jnp.array(imgs)).shape == (8, 20, 20, 3)
+
+
+def test_random_ops_need_key(imgs):
+    fn = compile_pipeline([{"op": "random_hflip"}])
+    with pytest.raises(PipelineError):
+        fn(jnp.array(imgs))
+    out = fn(jnp.array(imgs), jax.random.key(0))
+    assert out.shape == (8, 16, 16, 3)
+
+
+def test_random_crop_padding(imgs):
+    fn = compile_pipeline([{"op": "random_crop", "size": 16, "padding": 2}])
+    out = fn(jnp.array(imgs), jax.random.key(0))
+    assert out.shape == (8, 16, 16, 3)
+
+
+def test_clip_preprocessing_specs(imgs):
+    fn = compile_pipeline([{"op": "clip_pil_preprocessing", "resolution": 32},
+                           "clip_tensor_preprocessing"])
+    out = np.asarray(fn(jnp.array(imgs)))
+    assert out.shape == (8, 32, 32, 3)
+    # normalized by CLIP constants
+    raw = np.asarray(jax.image.resize(jnp.array(imgs, jnp.float32) / 255.0, (8, 32, 32, 3), "cubic"))
+    ref = (raw - np.array(CLIP_MEAN)) / np.array(CLIP_STD)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_unknown_op_raises():
+    with pytest.raises(PipelineError):
+        compile_pipeline(["warp_speed"])
+
+
+def test_conditional_applies_per_label(imgs):
+    # label==0 gets blurred, label==1 untouched (ConditionalCompose semantics,
+    # transformations.py:40-53)
+    cond = compile_conditional([(0, [{"op": "blur", "sigma": 2.0}], None)])
+    labels = jnp.array([0, 1] * 4)
+    out = np.asarray(cond(jnp.array(imgs), labels))
+    raw = imgs.astype(np.float32) / 255.0
+    np.testing.assert_allclose(out[1::2], raw[1::2], atol=1e-6)
+    assert np.abs(out[0::2] - raw[0::2]).max() > 1e-3
+
+
+def test_gaussian_noise_deterministic_per_key(imgs):
+    fn = compile_pipeline([{"op": "gaussian_noise", "std": 0.1}])
+    a = np.asarray(fn(jnp.array(imgs), jax.random.key(1)))
+    b = np.asarray(fn(jnp.array(imgs), jax.random.key(1)))
+    c = np.asarray(fn(jnp.array(imgs), jax.random.key(2)))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-4
+
+
+def test_color_jitter_bounds(imgs):
+    fn = compile_pipeline([{"op": "color_jitter", "brightness": 0.2, "contrast": 0.2,
+                            "saturation": 0.2, "hue": 0.1}])
+    out = np.asarray(fn(jnp.array(imgs), jax.random.key(0)))
+    assert out.shape == imgs.shape
+    assert out.min() >= -1e-5 and out.max() <= 1 + 1e-5
+
+
+def test_pipeline_is_jittable(imgs):
+    fn = compile_pipeline([{"op": "random_hflip"}, {"op": "blur", "sigma": 1.0}, "minmax_norm"])
+    jitted = jax.jit(lambda x, k: fn(x, k))
+    out = jitted(jnp.array(imgs), jax.random.key(0))
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,155 @@
+"""End-to-end training-engine tests on synthetic data (fake CIFAR substitute,
+EOE_TPU_FAKE_DATA=1 via conftest). Covers the class×seed grid, OE batching,
+objectives, snapshot/resume, and the results.json contract."""
+
+import json
+import os.path as pt
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eoe_tpu.datasets import load_dataset
+from eoe_tpu.datasets.bases import ArraySource, GenericADDataset
+from eoe_tpu.models.cnn import CNN32
+from eoe_tpu.training import TRAINER, Trainer
+from eoe_tpu.utils.logger import Logger
+
+
+class TinyNet(nn.Module):
+    """Small BN-free net for fast tests."""
+    rep_dim: int = 16
+    clf: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        x = x.reshape(x.shape[0], -1)
+        x = nn.relu(nn.Dense(32)(x))
+        x = nn.Dense(self.rep_dim)(x)
+        if self.clf:
+            x = nn.Dense(1)(x)
+        return x
+
+
+def separable_ds(rng, n=128, hw=8, n_classes=3):
+    """Synthetic combined dataset (normal + OE) where class identity is
+    linearly visible, so HSC with OE can trivially separate it."""
+    from eoe_tpu.datasets.bases import CombinedDataset
+
+    def make(n):
+        targets = np.arange(n) % n_classes
+        imgs = (rng.random((n, hw, hw, 3)) * 60).astype(np.uint8)
+        imgs = np.clip(imgs + targets[:, None, None, None] * 60, 0, 255).astype(np.uint8)
+        return imgs, targets
+
+    xtr, ytr = make(n)
+    xte, yte = make(n // 2)
+    kw = dict(root="", train_specs=[], test_specs=[], n_classes=n_classes, raw_shape=(hw, hw, 3))
+    normal = GenericADDataset(ArraySource(xtr, ytr), ArraySource(xte, yte),
+                              normal_classes=(0,), nominal_label=0, **kw)
+    # OE = the anomalous classes, flipped label (load_dataset semantics)
+    oe = GenericADDataset(ArraySource(xtr, ytr), None,
+                          normal_classes=tuple(range(1, n_classes)), nominal_label=1, **kw)
+    return CombinedDataset(normal, oe)
+
+
+def make_trainer(tmp_path, objective="hsc", epochs=3, model=None, **kw):
+    logger = Logger(str(tmp_path), noname=True, archive_source=False)
+    return TRAINER[objective](
+        model=model or TinyNet(clf=objective in ("bce", "focal")),
+        train_specs=[], test_specs=[], dataset="cifar10", oe_dataset="cifar100",
+        datapath=str(tmp_path / "data"), logger=logger, epochs=epochs, lr=1e-3, wdk=0.0,
+        milestones=[], batch_size=16, **kw)
+
+
+@pytest.mark.parametrize("objective", ["hsc", "bce", "focal", "dsad", "dsvdd"])
+def test_objectives_run_end_to_end(tmp_path, objective):
+    trainer = make_trainer(tmp_path / objective, objective)
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert np.isfinite(res["mean_auc"])
+    assert res["cls_aucs"][0][0] is not None
+
+
+def test_hsc_learns_separable_data(tmp_path, rng):
+    trainer = make_trainer(tmp_path, "hsc", epochs=10)
+    trainer.ds = separable_ds(rng)
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert res["mean_auc"] > 0.9, f"separable data should be easy, got {res['mean_auc']}"
+
+
+def test_results_json_contract(tmp_path):
+    trainer = make_trainer(tmp_path, "hsc", epochs=1)
+    trainer.run(run_classes=[0], run_seeds=2)
+    with open(pt.join(trainer.logger.dir, "results.json")) as f:
+        res = json.load(f)
+    for k in ("eval_mean_auc", "eval_std_auc", "eval_mean_avg_prec", "eval_cls_rocs", "classes"):
+        assert k in res
+    assert len(res["eval_cls_rocs"][0]) == 2  # two seeds
+    assert pt.exists(pt.join(trainer.logger.dir, "setup.json"))
+    # per-sample anomaly scores logged (ad_trainer.py:547)
+    assert pt.exists(pt.join(trainer.logger.dir, "eval_cls0_it0_anomaly_scores.json"))
+
+
+def test_snapshot_and_resume(tmp_path):
+    trainer = make_trainer(tmp_path / "a", "hsc", epochs=2)
+    trainer.run(run_classes=[0], run_seeds=1)
+    snap = trainer.logger.snapshot_path("snapshot_cls0_it0")
+    assert pt.exists(snap)
+    assert trainer.load_epochs_only(snap) == 2
+
+    # resuming with epochs==saved epoch skips training and reproduces eval
+    trainer2 = make_trainer(tmp_path / "b", "hsc", epochs=2)
+    _, res2 = trainer2.run(run_classes=[0], run_seeds=1, load=[[snap]])
+    with open(pt.join(trainer.logger.dir, "results.json")) as f:
+        res1 = json.load(f)
+    assert res2["mean_auc"] == pytest.approx(res1["eval_mean_auc"], abs=1e-6)
+
+
+def test_eval_only_run(tmp_path):
+    trainer = make_trainer(tmp_path, "hsc", epochs=1)
+    _, res = trainer.run(run_classes=[0], run_seeds=1, train=False)
+    assert np.isfinite(res["mean_auc"])  # random model still yields an AUC
+
+
+def test_multi_seed_uses_different_keys(tmp_path):
+    trainer = make_trainer(tmp_path, "hsc", epochs=1)
+    trainer.run(run_classes=[0], run_seeds=2)
+    # different init/shuffling per seed -> different per-sample scores
+    with open(pt.join(trainer.logger.dir, "eval_cls0_it0_anomaly_scores.json")) as f:
+        s0 = json.load(f)
+    with open(pt.join(trainer.logger.dir, "eval_cls0_it1_anomaly_scores.json")) as f:
+        s1 = json.load(f)
+    assert s0 != s1
+
+
+def test_without_oe_dataset(tmp_path, rng):
+    logger = Logger(str(tmp_path), noname=True, archive_source=False)
+    trainer = Trainer(
+        model=TinyNet(), objective="dsvdd", train_specs=[], test_specs=[],
+        dataset="cifar10", oe_dataset=None, datapath=str(tmp_path / "data"), logger=logger,
+        epochs=2, lr=1e-3, wdk=0.0, milestones=[], batch_size=16)
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert np.isfinite(res["mean_auc"])
+
+
+def test_leave_one_out_mode(tmp_path):
+    trainer = make_trainer(tmp_path, "hsc", epochs=1, ad_mode="leave_one_out")
+    assert len(trainer.get_nominal_classes(3)) == 9
+    assert 3 not in trainer.get_nominal_classes(3)
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert np.isfinite(res["mean_auc"])
+
+
+def test_cnn32_with_batchnorm_trains(tmp_path):
+    trainer = make_trainer(tmp_path, "hsc", epochs=1, model=CNN32(rep_dim=32))
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert np.isfinite(res["mean_auc"])
+
+
+def test_throughput_accounting(tmp_path):
+    trainer = make_trainer(tmp_path, "hsc", epochs=2)
+    trainer.run(run_classes=[0], run_seeds=1)
+    assert trainer.images_seen > 0
+    assert trainer.images_per_second > 0
