@@ -135,6 +135,16 @@ class Subset:
     def targets(self) -> np.ndarray:
         return self.source.targets[self.indices]
 
+    @property
+    def sample_keys(self):
+        """Per-sample string keys (e.g. relative file paths) when the source
+        provides them — used for the per-sample anomaly-score JSONs of custom
+        datasets (ad_trainer.py:528-532)."""
+        keys = getattr(self.source, "sample_keys", None)
+        if keys is None:
+            return None
+        return [keys[i] for i in self.indices]
+
 
 # ---------------------------------------------------------------- AD dataset
 

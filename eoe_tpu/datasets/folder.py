@@ -1,0 +1,142 @@
+"""Folder-backed image sources: threaded JPEG decode feeding the device
+pipeline.
+
+TPU-native replacement for the reference's DataLoader-worker + PIL + shared
+-memory stack (imagenet.py:109-227, cub.py:135, dtd.py:86-134): instead of
+per-sample worker processes, a :class:`FolderSource` decodes a requested index
+batch with a thread pool (PIL's decode releases the GIL), resizes every image
+to the dataset's fixed raw shape once, and serves uint8 NHWC arrays that the
+jitted train step augments on device. A byte-budgeted RAM cache replaces both
+the reference's POSIX-shm cache server (experiments/caching/) and the
+ImageNet-21k in-process cache (imagenet.py:458-478).
+
+Corrupt-file tolerance mirrors imagenet.py:435-446: a failed decode logs a
+warning and serves the next index instead.
+
+Known deviation: the reference resizes with torchvision's shortest-side
+semantics and crops later on the CPU; here raw images are resized to a SQUARE
+raw shape at decode (crops then happen on device). For the benchmark
+pipelines, which all end in square crops, this changes only the crop's source
+aspect ratio.
+"""
+
+import os
+import os.path as pt
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from eoe_tpu.datasets.bases import DataSource
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".pgm", ".tif", ".tiff", ".webp")
+
+# module-level scan cache: listing a million files takes time, and the trainer
+# rebuilds datasets per class-seed (parity: MyImageNet.cache, imagenet.py:109)
+_SCAN_CACHE: Dict[str, Tuple[list, np.ndarray, list]] = {}
+
+
+def scan_image_folder(root: str, use_cache: bool = True
+                      ) -> Tuple[List[str], np.ndarray, List[str]]:
+    """torchvision-ImageFolder-style scan: one class per subdirectory
+    (alphabetical), returns (paths, targets, classes)."""
+    root = pt.abspath(root)
+    if use_cache and root in _SCAN_CACHE:
+        return _SCAN_CACHE[root]
+    if not pt.isdir(root):
+        raise FileNotFoundError(f"image folder not found: {root}")
+    classes = sorted(d.name for d in os.scandir(root) if d.is_dir())
+    paths: List[str] = []
+    targets: List[int] = []
+    for ci, cls in enumerate(classes):
+        cdir = pt.join(root, cls)
+        for dirpath, _, filenames in sorted(os.walk(cdir)):
+            for fn in sorted(filenames):
+                if fn.lower().endswith(IMG_EXTENSIONS):
+                    paths.append(pt.join(dirpath, fn))
+                    targets.append(ci)
+    result = (paths, np.asarray(targets, dtype=np.int64), classes)
+    if use_cache:
+        _SCAN_CACHE[root] = result
+    return result
+
+
+def decode_image(path: str, hw: Tuple[int, int], gray: bool = False) -> np.ndarray:
+    """Decode + RGB-convert + square-resize one image to uint8 (h, w, c)."""
+    from PIL import Image
+    with Image.open(path) as img:
+        img = img.convert("L" if gray else "RGB")
+        if img.size != (hw[1], hw[0]):
+            img = img.resize((hw[1], hw[0]), Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.uint8)
+    if gray:
+        arr = arr[..., None]
+    return arr
+
+
+class FolderSource(DataSource):
+    """Random-access source over image files with threaded decode and a
+    byte-budgeted RAM cache of decoded (already resized) images."""
+
+    def __init__(self, paths: Sequence[str], targets: np.ndarray,
+                 raw_shape: Tuple[int, int, int], logger=None,
+                 cache_bytes: int = 0, workers: int = 16,
+                 sample_keys: Optional[Sequence[str]] = None):
+        self.paths = list(paths)
+        self.targets = np.asarray(targets, dtype=np.int64)
+        self._raw_shape = tuple(raw_shape)
+        self.logger = logger
+        self.cache_bytes = cache_bytes
+        self.workers = workers
+        self._cache: Dict[int, np.ndarray] = {}
+        self._cache_used = 0
+        # per-sample string keys for score dicts (custom datasets key scores by
+        # relative file path, ad_trainer.py:528-532)
+        self.sample_keys = list(sample_keys) if sample_keys is not None else None
+
+    def __len__(self):
+        return len(self.paths)
+
+    @property
+    def raw_shape(self):
+        return self._raw_shape
+
+    def _decode_one(self, index: int) -> np.ndarray:
+        cached = self._cache.get(index)
+        if cached is not None:
+            return cached
+        hw = self._raw_shape[:2]
+        gray = self._raw_shape[2] == 1
+        i = int(index)
+        for attempt in range(len(self.paths)):
+            try:
+                arr = decode_image(self.paths[i], hw, gray)
+                break
+            except Exception as e:  # corrupt file -> serve the next index
+                if self.logger is not None:
+                    self.logger.warning(
+                        f"could not load picture at {self.paths[i]} ({e}); using next index",
+                        print_msg=False)
+                i = (i + 1) % len(self.paths)
+        else:
+            raise RuntimeError("all images in the folder source failed to decode")
+        if self._cache_used + arr.nbytes <= self.cache_bytes:
+            self._cache[index] = arr
+            self._cache_used += arr.nbytes
+        return arr
+
+    def gather(self, indices: np.ndarray) -> np.ndarray:
+        indices = np.asarray(indices)
+        if len(indices) == 1:
+            return self._decode_one(int(indices[0]))[None]
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            imgs = list(pool.map(self._decode_one, indices.tolist()))
+        return np.stack(imgs)
+
+    def warm_cache(self, indices: Sequence[int]):
+        """Pre-decode a set of indices into the RAM cache (role of
+        ImageNet22K.cache, imagenet.py:458-478)."""
+        for i in indices:
+            if self._cache_used >= self.cache_bytes:
+                break
+            self._decode_one(int(i))
