@@ -454,7 +454,9 @@ class BalancedEpochSampler:
         pad = total - N
         weights = np.ones(total, dtype=np.float32)
         if pad:
-            normal = np.concatenate([normal, normal[:pad]])  # pad with wrap-around, masked out
+            # pad with wrap-around (tiled when the set is smaller than one
+            # batch), masked out via weights
+            normal = np.tile(normal, int(np.ceil(total / N)))[:total]
             weights[N:] = 0.0
         oe = None
         if self._oe_base is not None:

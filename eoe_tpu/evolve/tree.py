@@ -1,0 +1,162 @@
+"""Genealogical tree of the evolutionary OE search.
+
+Parity target: /root/reference/src/eoe/evolve/tree.py — nodes identified by
+UUID with parent/children edges, per-node Individual {values, file, fitness},
+JSON (de)serialization (:174-189), BFS/DFS traversal (:24-83), de-duplicated
+top-k best/worst queries (:262-281), and final best/worst overview figures
+(:283-359; matplotlib here instead of graphviz+cv2).
+"""
+
+import json
+import os.path as pt
+import uuid as uuid_mod
+from typing import List, Optional, Sequence
+
+
+class Individual:
+    def __init__(self, values: Sequence[int], file: Optional[str] = None,
+                 fitness: Optional[float] = None):
+        self.values = list(values)
+        self.file = file
+        self.fitness = fitness
+
+    def to_json(self):
+        return {"values": self.values, "file": self.file, "fitness": self.fitness}
+
+    @staticmethod
+    def from_json(d):
+        return Individual(d["values"], d.get("file"), d.get("fitness"))
+
+    def __repr__(self):
+        return f"Individual({self.values}, fitness={self.fitness})"
+
+
+class EvolNode:
+    def __init__(self, content: Individual, uuid: Optional[str] = None):
+        self.content = content
+        self.uuid = uuid or str(uuid_mod.uuid4())
+        self.children: List["EvolNode"] = []
+        self.parents: List["EvolNode"] = []
+
+    def add_children(self, *nodes: "EvolNode"):
+        for n in nodes:
+            if n not in self.children:
+                self.children.append(n)
+            if self not in n.parents:
+                n.parents.append(self)
+
+
+class Tree:
+    """Root is a virtual node; generation-0 individuals are its children."""
+
+    def __init__(self, *nodes: EvolNode):
+        self.root = EvolNode(Individual([]), uuid="root")
+        self.root.add_children(*nodes)
+
+    def bfs(self) -> List[EvolNode]:
+        seen, order, queue = {id(self.root)}, [self.root], [self.root]
+        while queue:
+            node = queue.pop(0)
+            for c in node.children:
+                if id(c) not in seen:
+                    seen.add(id(c))
+                    order.append(c)
+                    queue.append(c)
+        return order
+
+    def dfs(self) -> List[EvolNode]:
+        seen, order, stack = set(), [], [self.root]
+        while stack:
+            node = stack.pop()
+            if id(node) in seen:
+                continue
+            seen.add(id(node))
+            order.append(node)
+            stack.extend(reversed(node.children))
+        return order
+
+    def get(self, individual) -> Optional[EvolNode]:
+        """Find the LATEST node whose values match the individual's (the
+        reference matches by value list as well)."""
+        values = list(individual)
+        match = None
+        for n in self.bfs()[1:]:
+            if n.content.values == values:
+                match = n
+        return match
+
+    # -------------------------------------------------------------- queries
+
+    def topk(self, k: int = 16, best: bool = True) -> List[EvolNode]:
+        """De-duplicated (by values) best/worst evaluated nodes
+        (tree.py:262-281)."""
+        nodes = [n for n in self.bfs()[1:] if n.content.fitness is not None]
+        seen, unique = set(), []
+        for n in sorted(nodes, key=lambda n: n.content.fitness, reverse=best):
+            key = tuple(n.content.values)
+            if key not in seen:
+                seen.add(key)
+                unique.append(n)
+        return unique[:k]
+
+    # -------------------------------------------------------------- io
+
+    def save(self, path: str):
+        if not path.endswith(".json"):
+            path = path + ".json"
+        nodes = self.bfs()
+        payload = {
+            "nodes": [{"uuid": n.uuid, **n.content.to_json()} for n in nodes],
+            "edges": [[p.uuid, c.uuid] for p in nodes for c in p.children],
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f)
+
+    def load(self, path: str) -> "Tree":
+        with open(path) as f:
+            payload = json.load(f)
+        by_uuid = {}
+        for nd in payload["nodes"]:
+            node = EvolNode(Individual.from_json(nd), uuid=nd["uuid"])
+            by_uuid[node.uuid] = node
+        for p, c in payload["edges"]:
+            by_uuid[p].add_children(by_uuid[c])
+        self.root = by_uuid.get("root") or next(iter(by_uuid.values()))
+        return self
+
+    # -------------------------------------------------------------- figures
+
+    def imsave_collection_best(self, logger, msms=(), oeds=None, k: int = 16):
+        """Final best/worst overview figures in the run directory
+        (role of tree.py:283-359). ``oeds`` enables rendering from raw data;
+        otherwise skipped silently (the per-individual PNGs already exist)."""
+        if oeds is None:
+            return
+        for best in (True, False):
+            name = "best" if best else "worst"
+            self.overview_figure(oeds, pt.join(logger.dir, f"overview_{name}.png"),
+                                 k=k, best=best)
+
+    def overview_figure(self, oeds, path: str, k: int = 16, best: bool = True):
+        """Grid of the k best/worst OE samples with fitness captions
+        (role of tree.py:283-359)."""
+        import numpy as np
+        nodes = self.topk(k, best)
+        if not nodes:
+            return None
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return None
+        fig, axes = plt.subplots(1, len(nodes), figsize=(2 * len(nodes), 2.6), squeeze=False)
+        for ax, n in zip(axes[0], nodes):
+            imgs = oeds.gather(np.asarray(n.content.values) % len(oeds))
+            ax.imshow(imgs[0] if imgs.shape[-1] == 3 else imgs[0][..., 0], cmap="gray")
+            ax.set_title(f"{n.content.fitness * 100:05.2f}%", fontsize=8)
+            ax.axis("off")
+        fig.suptitle(("best" if best else "worst") + " OE samples")
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+        return path

@@ -70,7 +70,8 @@ class WideResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = x.reshape(-1, 224, 224, 3)
+        # NHWC input of any spatial size (the reference targets 224x224 but the
+        # custom entry points feed other crops); pooling below is global
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     kernel_init=kaiming_normal_fan_out(), name="conv1")(x)
         x = nn.relu(_bn("bn1")(x, use_running_average=not train))

@@ -169,7 +169,12 @@ class Trainer:
     # ------------------------------------------------------------- model state
 
     def init_state(self, key: jax.Array, ds, steps_per_epoch: int) -> TrainState:
+        # init on the PIPELINE OUTPUT shape (crops/resizes change it from the
+        # raw shape); the test pipeline is deterministic and defines eval shape
         sample = jnp.zeros((1, *ds.raw_shape), jnp.float32)
+        pipe = (ds.normal if isinstance(ds, CombinedDataset) else ds).test_pipeline
+        if pipe is not None:
+            sample = pipe(sample, jax.random.key(0), self._rt_stats(ds))
         variables = self.model.init(key, sample, train=False)
         params = variables.get("params", {})
         batch_stats = variables.get("batch_stats", {})

@@ -206,7 +206,9 @@ class Logger:
             grid[r * (h + 2) + 1:r * (h + 2) + 1 + h, col * (w + 2) + 1:col * (w + 2) + 1 + w] = imgs[i]
         if c == 1:
             grid = grid[..., 0]
-        Image.fromarray(grid).save(pt.join(self.dir, f"{name}.png"))
+        path = pt.join(self.dir, f"{name}.png")
+        os.makedirs(pt.dirname(path), exist_ok=True)
+        Image.fromarray(grid).save(path)
 
     # ---------------------------------------------------------- curves
 

@@ -1,0 +1,244 @@
+"""Orchestration layer: CLI runners, resume (load_setup), evolutionary and
+random OE search, multiscale sweep, custom train/inference entry points
+(references: src/eoe/main/*)."""
+
+import glob
+import json
+import os
+import os.path as pt
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from eoe_tpu.main import default_argsparse, evolve_argsparse, ms_argsparse
+
+
+def base_args(tmp_path, extra=()):
+    return ["-e", "1", "--iterations", "1", "--classes", "0",
+            "--oe-dataset", "cifar100", "--datapath", str(tmp_path),
+            "--superdir", str(tmp_path), *extra]
+
+
+# ----------------------------------------------------------------- argparse
+
+
+def test_default_argsparse_flags():
+    args = default_argsparse(lambda s: s, argv=["-ds", "cifar10", "--ad-mode", "loo",
+                                                "-oe", "none", "-b", "64"])
+    assert args.dataset == "cifar10"
+    assert args.ad_mode == "leave_one_out"  # short->long map
+    assert args.oe_dataset is None  # 'none' -> None
+    assert args.batch_size == 64
+
+
+def test_ms_argsparse_builds_msms():
+    args = ms_argsparse(lambda s: s, argv=["--ms-mode", "lpf+train_nominal",
+                                           "blur+test_anomalous", "--magnitude", "3"])
+    assert len(args.ms_mode) == 2
+    assert str(args.ms_mode[0]) == "lpf+train_nominal--M3"
+
+
+def test_evolve_argsparse_guards():
+    with pytest.raises(ValueError, match="oe-size"):
+        evolve_argsparse(lambda s: s, argv=["--oe-size", "5"])
+    args = evolve_argsparse(lambda s: s, argv=["--ev-oesize", "2"])
+    assert args.ev_oesize == 2 and args.ev_generations == 30
+
+
+# ----------------------------------------------------------------- runners
+
+
+def test_train_cifar_runner_end_to_end(tmp_path):
+    from eoe_tpu.main import train_cifar
+    _, res = train_cifar.main(base_args(tmp_path))
+    assert np.isfinite(res["mean_auc"])
+    # results.json written under datapath/results/superdir/log_*/
+    res_files = glob.glob(str(tmp_path / "**" / "results.json"), recursive=True)
+    assert res_files
+
+
+def test_train_mnist_runner(tmp_path):
+    from eoe_tpu.main import train_mnist
+    _, res = train_mnist.main(base_args(tmp_path, ["--oe-dataset", "emnist"]))
+    assert np.isfinite(res["mean_auc"])
+
+
+def test_runner_modules_importable():
+    import importlib
+    for name in ("train_cifar", "train_mnist", "train_fmnist", "train_imagenet",
+                 "train_imagenet_fast", "train_mvtec", "train_dtd", "train_cub",
+                 "train_custom", "train_clip_cifar", "train_clip_mnist",
+                 "train_clip_fmnist", "train_clip_imagenet", "train_clip_mvtec",
+                 "train_clip_dtd", "train_clip_cub", "evolve_oe_cifar",
+                 "evolve_oe_imagenet", "evolve_oe_custom", "random_oe_cifar",
+                 "random_oe_imagenet", "multiscale_cifar", "multiscale_imagenet",
+                 "train_only_custom", "inference_custom"):
+        mod = importlib.import_module(f"eoe_tpu.main.{name}")
+        assert hasattr(mod, "main"), name
+
+
+def test_load_setup_resume(tmp_path):
+    from eoe_tpu.main import train_cifar
+    train_cifar.main(base_args(tmp_path))
+    logdir = sorted(glob.glob(str(tmp_path / "log_*")))[0]
+    # resume with --load: re-evaluates the completed combo into {dir}---CNTD
+    _, res2 = train_cifar.main(base_args(tmp_path, ["--load", logdir]))
+    assert np.isfinite(res2["mean_auc"])
+    assert pt.isdir(logdir + "---CNTD")
+    with open(pt.join(logdir, "results.json")) as f:
+        res1 = json.load(f)
+    assert res2["mean_auc"] == pytest.approx(res1["eval_mean_auc"], abs=1e-6)
+
+
+def test_load_setup_asserts_on_mismatch(tmp_path):
+    from eoe_tpu.main import train_cifar
+    from eoe_tpu.main import load_setup
+    train_cifar.main(base_args(tmp_path))
+    logdir = sorted(glob.glob(str(tmp_path / "log_*")))[0]
+    import argparse
+    args = argparse.Namespace(dataset="cifar10", objective="hsc")
+    with pytest.raises(AssertionError, match="transformation"):
+        load_setup(logdir, args, ["normalize"], ["normalize"])
+
+
+# ----------------------------------------------------------------- evolve
+
+
+def test_evolve_runner(tmp_path):
+    from eoe_tpu.main import evolve_oe_cifar
+    history, tree = evolve_oe_cifar.main(base_args(tmp_path, [
+        "--ev-generations", "2", "--ev-generation-pool", "3",
+        "--ev-mutation-pool", "6", "--ev-mutation-oneofkbest", "2"]))
+    assert len(history["pop"]) == 2
+    assert len(history["fit"][0]) == 3
+    # tree persisted with fitness values
+    evolve_dirs = glob.glob(str(tmp_path / "log_*_evolve_*"))
+    assert evolve_dirs
+    with open(pt.join(evolve_dirs[0], "evolution.json")) as f:
+        t = json.load(f)
+    assert any(n.get("fitness") is not None for n in t["nodes"])
+    # best/worst overview figures
+    assert pt.exists(pt.join(evolve_dirs[0], "overview_best.png"))
+
+
+def test_random_oe_runner(tmp_path):
+    from eoe_tpu.main import random_oe_cifar
+    history, _ = random_oe_cifar.main(base_args(tmp_path, ["--ev-samples", "2"]))
+    assert len(history["fit"][0]) == 2
+
+
+def test_evolve_operators_semantics(tmp_path, rng):
+    from eoe_tpu.evolve import (Individual, init_individual, mate_individuals,
+                                mutate_individual, select_individual)
+    from eoe_tpu.datasets.bases import ArraySource, Subset
+    src = ArraySource(rng.integers(0, 256, (20, 8, 8, 3), np.uint8), np.zeros(20))
+    oeds = Subset(src, np.arange(20))
+    np.random.seed(0)
+    inds = [Individual([init_individual(oeds)]) for _ in range(4)]
+    for i, ind in enumerate(inds):
+        ind.fitness.values = (i / 4,)
+    # tournament selection prefers higher fitness (weight +1)
+    sel = select_individual(inds, k=8, tournsize=3)
+    assert np.mean([s.fitness.values[0] for s in sel]) >= np.mean(
+        [i.fitness.values[0] for i in inds])
+    # minimization flips preference
+    inds_min = [Individual(list(i), weight=-1.0) for i in inds]
+    for i, ind in enumerate(inds_min):
+        ind.fitness.values = (i / 4,)
+    sel_min = select_individual(inds_min, k=8, tournsize=3)
+    assert np.mean([s.fitness.values[0] for s in sel_min]) <= np.mean(
+        [i.fitness.values[0] for i in inds_min])
+    # mutation replaces with a valid index
+    ind = Individual([3])
+    mutate_individual(ind, oeds, poolsize=6, indp=1.0, oneofkbest=2)
+    assert 0 <= ind[0] < 20
+    # multi-element mating swaps elements
+    a, b = Individual([1, 2]), Individual([3, 4])
+    np.random.seed(1)
+    mate_individuals(a, b, oeds, poolsize=4, indp=1.0, oneofkbest=2)
+    assert sorted(list(a) + list(b)) == [1, 2, 3, 4]
+
+
+def test_tree_roundtrip(tmp_path):
+    from eoe_tpu.evolve.tree import EvolNode, Individual, Tree
+    n1, n2 = EvolNode(Individual([1], fitness=0.5)), EvolNode(Individual([2], fitness=0.9))
+    tree = Tree(n1, n2)
+    child = EvolNode(Individual([3], fitness=0.7))
+    n1.add_children(child)
+    tree.save(str(tmp_path / "evolution"))
+    tree2 = Tree().load(str(tmp_path / "evolution.json"))
+    assert len(tree2.bfs()) == 4
+    top = tree2.topk(2, best=True)
+    assert [n.content.values for n in top] == [[2], [3]]
+    worst = tree2.topk(1, best=False)
+    assert worst[0].content.values == [1]
+
+
+# ----------------------------------------------------------------- multiscale
+
+
+def test_multiscale_runner(tmp_path):
+    from eoe_tpu.main import multiscale_cifar
+    aucs = multiscale_cifar.main(base_args(tmp_path, [
+        "--ms-mode", "lpf+train_nominal", "--magnitudes", "0", "2"]))
+    assert len(aucs) == 2
+    res_files = [f for f in glob.glob(str(tmp_path / "**" / "results.json"),
+                                      recursive=True)]
+    ms_res = [f for f in res_files if "magnitudes" in json.load(open(f))]
+    assert ms_res
+    r = json.load(open(ms_res[0]))
+    assert r["magnitudes"] == [0, 2] and len(r["aucs"]) == 2
+
+
+def test_multiscale_test_only_msm_reuses_models(tmp_path):
+    # MSMs touching only test parts -> magnitude!=0 runs with epochs=0 reusing
+    # the magnitude-0 snapshots (main/__init__.py:531-537)
+    from eoe_tpu.main import multiscale_cifar
+    aucs = multiscale_cifar.main(base_args(tmp_path, [
+        "--ms-mode", "lpf+test_anomalous", "--magnitudes", "0", "2"]))
+    assert len(aucs) == 2
+
+
+# ----------------------------------------------------------------- custom e2e
+
+
+def _write_splitless_custom(root, rng, n_normal=10, n_anom=4):
+    for folder, n, col in (("normal", n_normal, 40), ("anomalous", n_anom, 200)):
+        os.makedirs(pt.join(root, folder), exist_ok=True)
+        for i in range(n):
+            arr = np.full((40, 40, 3), col, np.uint8) + rng.integers(0, 30, (40, 40, 3),
+                                                                     dtype=np.uint8)
+            Image.fromarray(arr).save(pt.join(root, folder, f"{i}.png"))
+
+
+def test_train_only_and_inference_custom(tmp_path, rng):
+    from eoe_tpu.datasets.custom import ADCustomDS
+    from eoe_tpu.main import inference_custom, train_only_custom
+    data = str(tmp_path / "data")
+    _write_splitless_custom(data, rng)
+    try:
+        train_only_custom.main([
+            "-e", "2", "--iterations", "1", "-b", "8",
+            "--custom-dataset-path", data, "--log-path", str(tmp_path / "train"),
+            "--image-resize", "32", "--image-crop", "28", "28"])
+        snaps = glob.glob(str(tmp_path / "train" / "**" / "snapshot_cls0_it0.msgpack"),
+                          recursive=True)
+        assert snaps
+        ADCustomDS.train_only = False
+        ADCustomDS.base_folder = "custom"
+        ADCustomDS.classes = []
+        _, res = inference_custom.main([
+            "-b", "8", "--custom-dataset-path", data,
+            "--log-path", str(tmp_path / "infer"), "--custom-model-snapshot", snaps[0],
+            "--image-resize", "32", "--image-crop", "28", "28"])
+        assert res["mean_auc"] > 0.9  # separable colors
+        sfiles = glob.glob(str(tmp_path / "infer" / "**" /
+                               "eval_cls0_it0_anomaly_scores.json"), recursive=True)
+        scores = json.load(open(sfiles[0]))
+        assert all("/" in k for k in scores)  # keyed by relative file path
+    finally:
+        ADCustomDS.train_only = False
+        ADCustomDS.eval_only = False
+        ADCustomDS.base_folder = "custom"
+        ADCustomDS.classes = []
