@@ -1,13 +1,16 @@
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Headline: images/sec/chip for HSC training with the device-resident epoch path
-(the reference publishes no throughput numbers — BASELINE.md — so the baseline
-is self-measured; vs_baseline compares against the first recorded run stored
-in .bench_baseline.json, 1.0 on the first run).
+Headline (BASELINE.json north star): images/sec/chip for CLIP ViT-B/32 HSC
+training — the full jitted train step (device-side preprocessing + bf16 ViT
+forward/backward + SGD update) over balanced normal‖OE batches, steady-state
+over the device-resident epoch path. The reference publishes no throughput
+numbers (BASELINE.md), so the baseline is self-measured: vs_baseline compares
+against the first recorded run in .bench_baseline.json (1.0 on the first run).
 
-Flagship model progression: CNN32 now; CLIP ViT-B/32 once the CLIP stack lands
-(the BASELINE.json north-star metric). Runs on whatever jax.devices() offers
-(one TPU chip under the driver).
+Weights are randomly initialized (no egress for the OpenAI checkpoint);
+throughput is weight-independent.
+
+EOE_TPU_BENCH_MODEL=cnn32 switches to the CIFAR-scale CNN32 benchmark.
 """
 
 import json
@@ -18,57 +21,82 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
+def build_trainer(model_kind: str, logger):
     import jax.numpy as jnp
 
     from eoe_tpu.datasets.bases import ArraySource, CombinedDataset, GenericADDataset
-    from eoe_tpu.models.cnn import CNN32
     from eoe_tpu.training import Trainer
-    from eoe_tpu.utils.logger import Logger
 
-    n_chips = jax.device_count()
     rng = np.random.default_rng(0)
+    if model_kind == "clip":
+        from eoe_tpu.models.clip import CLIP, VIT_B32
+        model = CLIP(VIT_B32, dtype=jnp.bfloat16)
+        # B=256 (512 with the OE half) amortizes per-step dispatch latency;
+        # HBM holds the 2x308MB resident arrays + model comfortably on v5e
+        HW, N, B, epochs = 224, 2048, 256, 4
+        train_specs = [{"op": "random_hflip"},
+                       {"op": "clip_pil_preprocessing"},
+                       {"op": "clip_tensor_preprocessing"}]
+        test_specs = [{"op": "clip_pil_preprocessing"}, {"op": "clip_tensor_preprocessing"}]
+        compute_dtype = jnp.bfloat16
+    else:
+        from eoe_tpu.models.cnn import CNN32
+        model = CNN32()
+        HW, N, B, epochs = 32, 8192, 128, 6
+        train_specs = [{"op": "random_hflip"}, "normalize"]
+        test_specs = ["normalize"]
+        compute_dtype = jnp.float32
 
-    # CIFAR-shaped synthetic data (bench measures compute, not disk IO)
-    HW, N_TRAIN, N_OE, B = 32, 8192, 8192, 128
-    xtr = rng.integers(0, 256, (N_TRAIN, HW, HW, 3), np.uint8)
-    xoe = rng.integers(0, 256, (N_OE, HW, HW, 3), np.uint8)
-    kw = dict(root="", train_specs=[{"op": "random_hflip"}, "normalize"],
-              test_specs=["normalize"], n_classes=2, raw_shape=(HW, HW, 3))
-    normal = GenericADDataset(ArraySource(xtr, np.zeros(N_TRAIN, np.int64)),
-                              ArraySource(xtr[:512], np.zeros(512, np.int64)),
+    xtr = rng.integers(0, 256, (N, HW, HW, 3), np.uint8)
+    xoe = rng.integers(0, 256, (N, HW, HW, 3), np.uint8)
+    kw = dict(root="", train_specs=train_specs, test_specs=test_specs, n_classes=2,
+              raw_shape=(HW, HW, 3))
+    normal = GenericADDataset(ArraySource(xtr, np.zeros(N, np.int64)),
+                              ArraySource(xtr[:256], np.zeros(256, np.int64)),
                               normal_classes=(0,), nominal_label=0, **kw)
-    oe = GenericADDataset(ArraySource(xoe, np.ones(N_OE, np.int64)), None,
+    oe = GenericADDataset(ArraySource(xoe, np.ones(N, np.int64)), None,
                           normal_classes=(1,), nominal_label=1, **kw)
     ds = CombinedDataset(normal, oe)
-
-    logger = Logger("/tmp/eoe_tpu_bench", active=False)
     trainer = Trainer(
-        model=CNN32(), objective="hsc", train_specs=kw["train_specs"],
-        test_specs=kw["test_specs"], dataset="cifar10", oe_dataset="cifar100",
-        datapath="/tmp", logger=logger, epochs=4, lr=1e-3, wdk=0.0,
-        milestones=[], batch_size=B)
+        model=model, objective="hsc", train_specs=train_specs, test_specs=test_specs,
+        dataset="cifar10", oe_dataset="cifar100", datapath="/tmp", logger=logger,
+        epochs=epochs, lr=1e-4, wdk=1e-3, milestones=[], batch_size=B,
+        compute_dtype=compute_dtype)
     trainer.ds = ds
+    return trainer, ds
+
+
+def main():
+    import jax
+    import jax.random as jrandom
+
+    from eoe_tpu.utils.logger import Logger
+
+    model_kind = os.environ.get("EOE_TPU_BENCH_MODEL", "clip")
+    n_chips = jax.device_count()
+    trainer, ds = build_trainer(model_kind, Logger("/tmp/eoe_tpu_bench", active=False))
 
     # epoch 1 compiles + pays the resident-array device_put; steady state =
     # median of the remaining per-epoch rates
-    import jax.random as jrandom
-    trainer.epochs = 6
-    state, _ = trainer.train_cls(ds, 0, "bench", 0, jrandom.key(0))
+    trainer.train_cls(ds, 0, "bench", 0, jrandom.key(0))
     ips_chip = float(np.median(trainer.epoch_rates[2:])) / max(n_chips, 1)
 
+    name = "CLIP ViT-B/32" if model_kind == "clip" else "CNN32"
     baseline_file = pt.join(pt.dirname(pt.abspath(__file__)), ".bench_baseline.json")
+    base = None
     if pt.exists(baseline_file):
         with open(baseline_file) as f:
-            base = json.load(f)["value"]
-    else:
-        base = ips_chip
+            rec = json.load(f)
+        base = rec.get(model_kind)
+    if base is None:
+        rec = {} if not pt.exists(baseline_file) else json.load(open(baseline_file))
+        rec[model_kind] = ips_chip
         with open(baseline_file, "w") as f:
-            json.dump({"value": ips_chip, "metric": "images/sec/chip"}, f)
+            json.dump(rec, f)
+        base = ips_chip
 
     print(json.dumps({
-        "metric": "images/sec/chip (HSC CNN32 train, device-resident epoch)",
+        "metric": f"images/sec/chip ({name} HSC train, bf16, fused device pipeline)",
         "value": round(ips_chip, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(ips_chip / base, 3),

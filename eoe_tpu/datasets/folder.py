@@ -81,7 +81,8 @@ class FolderSource(DataSource):
     def __init__(self, paths: Sequence[str], targets: np.ndarray,
                  raw_shape: Tuple[int, int, int], logger=None,
                  cache_bytes: int = 0, workers: int = 16,
-                 sample_keys: Optional[Sequence[str]] = None):
+                 sample_keys: Optional[Sequence[str]] = None,
+                 shm_prefix: Optional[str] = None):
         self.paths = list(paths)
         self.targets = np.asarray(targets, dtype=np.int64)
         self._raw_shape = tuple(raw_shape)
@@ -93,6 +94,9 @@ class FolderSource(DataSource):
         # per-sample string keys for score dicts (custom datasets key scores by
         # relative file path, ad_trainer.py:528-532)
         self.sample_keys = list(sample_keys) if sample_keys is not None else None
+        # shm cache-server block prefix '{ds}_{split}' (utils/caching.py); when
+        # set, decode checks the server's blocks before hitting the disk
+        self.shm_prefix = shm_prefix
 
     def __len__(self):
         return len(self.paths)
@@ -107,6 +111,15 @@ class FolderSource(DataSource):
             return cached
         hw = self._raw_shape[:2]
         gray = self._raw_shape[2] == 1
+        if self.shm_prefix is not None:
+            from eoe_tpu.utils.caching import read_shm_image
+            img = read_shm_image(f"{self.shm_prefix}_{int(index)}")
+            if img is not None:
+                if img.shape[:2] != hw:  # cache server may store another size
+                    from PIL import Image
+                    img = np.asarray(Image.fromarray(img).resize((hw[1], hw[0])),
+                                     np.uint8)
+                return img if not gray else img[..., :1]
         i = int(index)
         for attempt in range(len(self.paths)):
             try:
@@ -127,11 +140,35 @@ class FolderSource(DataSource):
 
     def gather(self, indices: np.ndarray) -> np.ndarray:
         indices = np.asarray(indices)
+        native = self._gather_native(indices)
+        if native is not None:
+            return native
         if len(indices) == 1:
             return self._decode_one(int(indices[0]))[None]
         with ThreadPoolExecutor(max_workers=self.workers) as pool:
             imgs = list(pool.map(self._decode_one, indices.tolist()))
         return np.stack(imgs)
+
+    def _gather_native(self, indices: np.ndarray) -> Optional[np.ndarray]:
+        """C++ batch decode (eoe_tpu.native.loader): threaded libjpeg/libpng
+        decode + fused resize in one call, no GIL. Falls back to the PIL path
+        per failed image; disabled when a RAM/shm cache is in play (those hit
+        the caches per image)."""
+        if self.cache_bytes or self.shm_prefix is not None or len(indices) < 2:
+            return None
+        from eoe_tpu import native
+        out, status = native.decode_batch_with_status(
+            [self.paths[int(i)] for i in indices], self._raw_shape[:2],
+            self._raw_shape[2], self.workers)
+        if out is None:
+            return None
+        for j in np.flatnonzero(status):
+            if self.logger is not None:
+                self.logger.warning(
+                    f"native decode failed for {self.paths[int(indices[j])]}; "
+                    f"falling back to PIL", print_msg=False)
+            out[j] = self._decode_one(int(indices[j]))
+        return out
 
     def warm_cache(self, indices: Sequence[int]):
         """Pre-decode a set of indices into the RAM cache (role of

@@ -89,7 +89,8 @@ class ClipTrainer(Trainer):
     # COPY the buffers: the jitted train step donates its state argument, so
     # handing out the originals would delete the pretrained weights.
     def init_state(self, key: jax.Array, ds, steps_per_epoch: int) -> TrainState:
-        params = jax.tree_util.tree_map(jnp.array, self._clip_variables["params"])
+        params = self.place_params(
+            jax.tree_util.tree_map(jnp.array, self._clip_variables["params"]))
         batch_stats = jax.tree_util.tree_map(
             jnp.array, self._clip_variables.get("batch_stats", {}))
         tx = self.make_optimizer(steps_per_epoch)

@@ -169,23 +169,49 @@ class Trainer:
     # ------------------------------------------------------------- model state
 
     def init_state(self, key: jax.Array, ds, steps_per_epoch: int) -> TrainState:
+        import contextlib
+
         # init on the PIPELINE OUTPUT shape (crops/resizes change it from the
-        # raw shape); the test pipeline is deterministic and defines eval shape
-        sample = jnp.zeros((1, *ds.raw_shape), jnp.float32)
-        pipe = (ds.normal if isinstance(ds, CombinedDataset) else ds).test_pipeline
-        if pipe is not None:
-            sample = pipe(sample, jax.random.key(0), self._rt_stats(ds))
-        variables = self.model.init(key, sample, train=False)
+        # raw shape); the test pipeline is deterministic and defines eval shape.
+        # Initialization runs on CPU: compiling the full forward on the TPU
+        # just to draw initial weights costs minutes for ViT-sized models.
+        cpu = next(iter(jax.local_devices(backend="cpu")), None)
+        ctx = (jax.default_device(cpu) if cpu is not None
+               and jax.default_backend() != "cpu" else contextlib.nullcontext())
+        with ctx:
+            sample = jnp.zeros((1, *ds.raw_shape), jnp.float32)
+            pipe = (ds.normal if isinstance(ds, CombinedDataset) else ds).test_pipeline
+            if pipe is not None:
+                sample = pipe(sample, jax.random.key(0), self._rt_stats(ds))
+            variables = self.model.init(key, sample, train=False)
+        device = jax.devices()[0]
         params = variables.get("params", {})
+        params = (self.place_params(params) if self.mesh is not None
+                  else jax.device_put(params, device))
         batch_stats = variables.get("batch_stats", {})
+        if batch_stats:
+            batch_stats = (jax.device_put(batch_stats, meshlib.replicated(self.mesh))
+                           if self.mesh is not None
+                           else jax.device_put(batch_stats, device))
         tx = self.make_optimizer(steps_per_epoch)
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
 
+    def place_params(self, params):
+        """Place parameters on the mesh: TP sharding rules (Megatron-style
+        column/row split of qkv/mlp) where a model axis > 1 applies them,
+        replicated otherwise; the optimizer state inherits the placement via
+        tx.init."""
+        if self.mesh is not None:
+            return jax.device_put(params, meshlib.param_shardings(self.mesh, params))
+        return params
+
     def make_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
-        """Adam for all models; CLIP overrides with SGD+nesterov
-        (ad_trainer.py:380-384)."""
-        return make_optimizer("adam", self.lr, self.wdk, self.milestones, steps_per_epoch)
+        """Adam for all models, SGD+nesterov for CLIP — the reference switches
+        on the model type (ad_trainer.py:380-384); ClipTrainer also overrides."""
+        from eoe_tpu.models.clip.model import CLIP as ClipModel
+        kind = "sgd" if isinstance(self.model, ClipModel) else "adam"
+        return make_optimizer(kind, self.lr, self.wdk, self.milestones, steps_per_epoch)
 
     def apply_model(self, state: TrainState, x: jax.Array, train: bool):
         variables = {"params": state.params}
@@ -502,11 +528,20 @@ class Trainer:
             Ln = jnp.asarray(normal_ds.binary_targets(train_set))
             Xo = jnp.asarray(oe_set.gather_all()) if has_oe else None
             Lo = jnp.asarray(ds.oe.binary_targets(oe_set)) if has_oe else None
+            # whole-epoch lax.scan amortizes per-step dispatch — a win for
+            # small models; for ViT-sized models the scan's compile time
+            # explodes while dispatch is negligible next to the ~100ms step,
+            # so large models run the per-step resident path
+            n_params = sum(int(np.prod(p.shape))
+                           for p in jax.tree_util.tree_leaves(state.params))
+            use_scan = n_params < 5_000_000
             # steps_per_epoch is part of the key: the LR schedule baked into tx
             # depends on it (milestone boundaries are epoch*steps)
             epoch_fn = self._cached(
-                ("epoch", type(ds).__name__, has_oe, Xn.shape[1:], self.batch_size, steps_per_epoch),
-                lambda: self.make_train_epoch_resident(ds, tx, has_oe))
+                ("epoch" if use_scan else "rstep", type(ds).__name__, has_oe,
+                 Xn.shape[1:], self.batch_size, steps_per_epoch),
+                lambda: (self.make_train_epoch_resident(ds, tx, has_oe) if use_scan
+                         else self.make_train_step_resident(ds, tx, has_oe)))
         else:
             Ln_all = normal_ds.binary_targets(train_set)
             Lo_all = ds.oe.binary_targets(oe_set) if has_oe else None
@@ -520,7 +555,7 @@ class Trainer:
             t0 = time.time()
             idx_n, idx_o, w = sampler.epoch()
             ekey = jax.random.fold_in(epoch_key, ep)
-            if resident:
+            if resident and use_scan:
                 state, (losses, scores, labels, weights) = epoch_fn(
                     state, Xn, Ln, Xo, Lo,
                     jnp.asarray(idx_n), jnp.asarray(idx_o) if has_oe else None,
@@ -529,6 +564,21 @@ class Trainer:
                 ep_labels = np.asarray(labels).reshape(-1)
                 ep_weights = np.asarray(weights).reshape(-1)
                 ep_losses = np.asarray(losses)
+            elif resident:
+                outs = []
+                idx_n_d = jnp.asarray(idx_n)
+                idx_o_d = jnp.asarray(idx_o) if has_oe else None
+                w_d = jnp.asarray(w)
+                for s in range(sampler.steps):
+                    state, out = epoch_fn(
+                        state, Xn, Ln, Xo, Lo, idx_n_d[s],
+                        idx_o_d[s] if has_oe else None, w_d[s], ekey, center, rt_stats)
+                    outs.append(out)
+                outs = [jax.tree_util.tree_map(np.asarray, o) for o in outs]
+                ep_losses = np.asarray([o[0] for o in outs])
+                ep_scores = np.concatenate([o[1] for o in outs])
+                ep_labels = np.concatenate([o[2] for o in outs])
+                ep_weights = np.concatenate([o[3] for o in outs])
             else:
                 outs = []
                 for s in range(sampler.steps):
@@ -567,6 +617,21 @@ class Trainer:
                 + f", {n_imgs / max(time.time() - t0, 1e-9):.0f} img/s")
 
         return state, cls_roc
+
+    def make_train_step_resident(self, ds, tx, has_oe: bool):
+        """One jitted step with the batch gather fused in (the resident arrays
+        stay in HBM; only (B,) index vectors cross the host boundary)."""
+        core = self._train_step_core(ds, tx, has_oe)
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, Xn, Ln, Xo, Lo, i_n, i_o, w, key, center, rt_stats):
+            xn = jnp.take(Xn, i_n, axis=0)
+            ln = jnp.take(Ln, i_n, axis=0)
+            xo = jnp.take(Xo, i_o, axis=0) if has_oe else None
+            lo = jnp.take(Lo, i_o, axis=0) if has_oe else None
+            return core(state, xn, ln, xo, lo, w, key, center, rt_stats)
+
+        return step
 
     def make_train_epoch_resident(self, ds, tx, has_oe: bool):
         core = self._train_step_core(ds, tx, has_oe)

@@ -1,0 +1,56 @@
+"""Pallas flash-attention kernel vs the jnp reference (interpret mode on CPU;
+the same kernel compiles on TPU — verified on a real v5e chip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eoe_tpu.models.clip.model import default_attention
+from eoe_tpu.ops.attention import flash_attention
+
+
+@pytest.mark.parametrize("shape", [(2, 4, 50, 64), (2, 2, 77, 32), (1, 1, 128, 64)])
+def test_flash_matches_reference(rng, shape):
+    q, k, v = (jnp.asarray(rng.normal(0, 1, shape), jnp.float32) for _ in range(3))
+    ref = default_attention(q, k, v, None)
+    out = flash_attention(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_with_causal_mask(rng):
+    n, h, s, d = 2, 2, 77, 32
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (n, h, s, d)), jnp.float32) for _ in range(3))
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1)
+    ref = default_attention(q, k, v, mask)
+    out = flash_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_flash_gradients_match(rng):
+    n, h, s, d = 1, 2, 50, 32
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (n, h, s, d)), jnp.float32) for _ in range(3))
+
+    def loss(fn):
+        return lambda q, k, v: (fn(q, k, v, None) ** 2).sum()
+
+    g_ref = jax.grad(loss(default_attention), argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_clip_with_flash_attention(rng):
+    """The CLIP model runs with the kernel plugged in and matches the default."""
+    from eoe_tpu.models.clip import CLIP, ClipConfig
+    cfg = ClipConfig(embed_dim=16, image_resolution=16, vision_layers=1, vision_width=32,
+                     vision_patch_size=8, context_length=16, vocab_size=64,
+                     transformer_width=32, transformer_heads=2, transformer_layers=1,
+                     vision_heads_override=2)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)), jnp.float32)
+    m_ref = CLIP(cfg)
+    variables = m_ref.init(jax.random.key(0), x)
+    m_flash = CLIP(cfg, attention_fn=flash_attention)
+    a = m_ref.apply(variables, x)
+    b = m_flash.apply(variables, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
