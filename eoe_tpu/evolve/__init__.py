@@ -231,11 +231,22 @@ def _pop_grid(oeds, pop) -> np.ndarray:
 
 def evaluate(offspring, pop, gen: int, toolbox, history: dict, tree: Tree, oeds, logger):
     """Evaluate all not-yet-evaluated offspring, update history + tree
-    (evolve/__init__.py:188-249)."""
+    (evolve/__init__.py:188-249). When the toolbox carries a vectorized
+    ``evaluate_population`` (eoe_tpu.evolve.vmapped), the whole invalid set
+    trains as vmapped chunks instead of sequential runs."""
     invalid = [ind for ind in offspring if not ind.fitness.valid]
+    vectorized = "evaluate_population" in getattr(toolbox, "_ops", {})
+    prefits = {}
+    if vectorized and invalid:
+        logger.print(f"Evaluate {len(invalid)} individuals (vmapped)..")
+        fits = toolbox.evaluate_population([list(ind) for ind in invalid])
+        prefits = {id(ind): f for ind, f in zip(invalid, fits)}
     for i, ind in [(i, ind) for i, ind in enumerate(offspring) if ind in invalid]:
-        logger.print(f"Evaluate ind{i:03}..")
-        fit = toolbox.evaluate(ind)
+        if vectorized:
+            fit = prefits[id(ind)]
+        else:
+            logger.print(f"Evaluate ind{i:03}..")
+            fit = toolbox.evaluate(ind)
         name = f"gen{gen:03}_ind{i:03}_fit{fit * 100:06.3f}"
         logger.logimg(pt.join("individuals", name), oeds.gather(
             np.asarray(list(ind), np.int64) % len(oeds)), nrow=16)

@@ -1,0 +1,173 @@
+"""Vectorized (vmapped) fitness evaluation for the evolutionary OE search.
+
+The reference evaluates one individual at a time: each candidate OE subset
+triggers a FULL sequential training run (evolve/__init__.py:55-78 — the hot
+loop of the whole experiment: 64 individuals x 50 generations x epochs).
+TPU-native redesign (the BASELINE.json north star): K candidates train
+SIMULTANEOUSLY as one vmapped program —
+
+  * the model parameters get a leading candidate axis (vmap over init with
+    the SAME key: all candidates start from identical weights, which removes
+    init noise from the fitness comparison),
+  * every candidate sees the same normal-half batches; only the OE half
+    differs (each candidate's OE indices), so the batch gather adds one
+    candidate axis on the OE side only,
+  * evaluation vmaps the forward over candidates on shared test batches and
+    computes AUROC on device (ops.metrics.auroc_jax), so a whole
+    generation's fitness is a handful of device launches instead of K
+    sequential trainings.
+
+Requires a device-resident pinned dataset (the evolve_trainer always pins
+one) and a feature-space objective; CLIP/AE also work since the step reuses
+Trainer._train_step_core.
+"""
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eoe_tpu.datasets.bases import BalancedEpochSampler, CombinedDataset
+from eoe_tpu.ops.metrics import auroc_jax
+
+
+class VmappedEvaluator:
+    """Evaluates a population of OE-index individuals in vmapped chunks."""
+
+    def __init__(self, trainer, args, chunk: int = 16):
+        assert trainer.ds is not None, "vmapped evaluation needs the pinned dataset"
+        self.trainer = trainer
+        self.args = args
+        self.chunk = chunk
+        self._train_fn = None
+        self._eval_fn = None
+
+    # ------------------------------------------------------------- build
+
+    def _build(self, oesize: int, n_train: int, steps: int):
+        trainer = self.trainer
+        ds = trainer.ds
+        has_oe = True
+        tx = trainer.make_optimizer(steps)
+        core = trainer._train_step_core(ds, tx, has_oe)
+
+        def train_full(state, Xn, Ln, Xo_cand, idx_n, idx_o, w, keys, center, rt_stats):
+            """Full training of ONE candidate: scan over all (epoch, step)
+            pairs; Xo_cand (oesize, h, w, c) is this candidate's OE pool."""
+            lo = jnp.full((idx_n.shape[-1],), ds.anomalous_label, jnp.int32)
+
+            def step_body(state, per_step):
+                i_n, i_o, w_s, key = per_step
+                xn = jnp.take(Xn, i_n, axis=0)
+                ln = jnp.take(Ln, i_n, axis=0)
+                xo = jnp.take(Xo_cand, i_o, axis=0)
+                state, out = core(state, xn, ln, xo, lo, w_s, key, center, rt_stats)
+                return state, out[0]
+
+            flat_n = idx_n.reshape(-1, idx_n.shape[-1])
+            flat_o = idx_o.reshape(-1, idx_o.shape[-1])
+            flat_w = w.reshape(-1, w.shape[-1])
+            flat_k = keys.reshape(-1)
+            state, losses = jax.lax.scan(step_body, state, (flat_n, flat_o, flat_w, flat_k))
+            return state, losses
+
+        # vmap: candidate axis on (state, Xo_cand); shared everything else
+        self._train_fn = jax.jit(jax.vmap(
+            train_full, in_axes=(0, None, None, 0, None, None, None, None, None, None)))
+
+        def fwd(state, x, labels, center, rt_stats):
+            x = trainer._preprocess(ds, x, labels, None, False, "normal", rt_stats)
+            x = x.astype(trainer.compute_dtype)
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            feats = trainer.model.apply(variables, x, train=False).astype(jnp.float32)
+            return trainer.objective.score(
+                feats, center, **trainer._loss_kwargs(x)).reshape(-1)
+
+        self._eval_fn = jax.jit(jax.vmap(fwd, in_axes=(0, None, None, None, None)))
+
+    # ------------------------------------------------------------- evaluate
+
+    def evaluate_population(self, individuals: Sequence[Sequence[int]]) -> List[float]:
+        """Fitness (mean test AUC over the configured seeds) per individual."""
+        trainer = self.trainer
+        ds = trainer.ds
+        assert isinstance(ds, CombinedDataset)
+        oeds = ds.oe.train_set
+        valid = np.asarray(getattr(oeds, "valid_indices", oeds.indices))
+        train_set = ds.train_set
+        normal_ds = ds.normal
+        oesize = len(individuals[0])
+        iterations = self.args.iterations
+
+        n = len(train_set)
+        Xn = jnp.asarray(train_set.gather_all())
+        Ln = jnp.asarray(normal_ds.binary_targets(train_set))
+        test_set = ds.test_set
+        test_labels = normal_ds.binary_targets(test_set)
+        rt_stats = trainer._rt_stats(ds)
+
+        # per-candidate OE images: (K, oesize, h, w, c)
+        def oe_images(ind):
+            return oeds.source.gather(valid[np.asarray(list(ind), np.int64) % len(valid)])
+
+        fitness = np.zeros((len(individuals), iterations), np.float64)
+        for it in range(iterations):
+            key = jax.random.fold_in(jax.random.fold_in(
+                jax.random.key(trainer.seed), self.args.classes[0]), it)
+            sampler = BalancedEpochSampler(
+                n, oesize, trainer.batch_size,
+                int(jax.random.randint(jax.random.fold_in(key, 1), (), 0, 2 ** 31 - 1)))
+            if self._train_fn is None:
+                self._build(oesize, n, sampler.steps)
+            # one shared epoch plan for all candidates
+            idx_n, idx_o, w = [], [], []
+            for _ in range(trainer.epochs):
+                a, b, c = sampler.epoch()
+                idx_n.append(a)
+                idx_o.append(b)
+                w.append(c)
+            if trainer.epochs > 0:
+                idx_n = jnp.asarray(np.stack(idx_n))
+                idx_o = jnp.asarray(np.stack(idx_o))
+                wj = jnp.asarray(np.stack(w), jnp.float32)
+            else:
+                shape = (0, sampler.steps, trainer.batch_size)
+                idx_n = idx_o = jnp.zeros(shape, jnp.int32)
+                wj = jnp.zeros(shape, jnp.float32)
+            n_keys = trainer.epochs * sampler.steps
+            keys = jax.random.split(jax.random.fold_in(key, 2), max(n_keys, 1))[:n_keys]
+
+            for start in range(0, len(individuals), self.chunk):
+                chunk = individuals[start:start + self.chunk]
+                k = len(chunk)
+                Xo = jnp.asarray(np.stack([oe_images(ind) for ind in chunk]))
+                base = trainer.init_state(key, ds, max(sampler.steps, 1))
+                states = jax.tree_util.tree_map(
+                    lambda x: jnp.broadcast_to(x, (k, *x.shape)), base)
+                if trainer.epochs > 0:
+                    states, _ = self._train_fn(
+                        states, Xn, Ln, Xo, idx_n, idx_o, wj,
+                        keys, trainer.center, rt_stats)
+                # vmapped eval over shared test batches
+                B = trainer.batch_size
+                scores = np.empty((k, len(test_set)), np.float32)
+                for i in range(0, len(test_set), B):
+                    pos = np.arange(i, min(i + B, len(test_set)))
+                    x = test_set.gather(pos)
+                    lb = test_labels[pos]
+                    if len(pos) < B:
+                        pad = B - len(pos)
+                        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                        lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
+                    out = self._eval_fn(states, jnp.asarray(x), jnp.asarray(lb),
+                                        trainer.center, rt_stats)
+                    scores[:, pos] = np.asarray(out)[:, : len(pos)]
+                keep = test_labels >= 0
+                aucs = jax.vmap(lambda s: auroc_jax(
+                    jnp.asarray(test_labels[keep]), jnp.asarray(s[..., keep])))(
+                    jnp.asarray(scores))
+                fitness[start:start + k, it] = np.asarray(aucs)
+        return fitness.mean(axis=1).tolist()

@@ -150,6 +150,10 @@ def evolve_argsparse(modify_descr, modify_parser=None, modify_args=None, argv=No
         parser.add_argument("--ev-generations", type=int, default=30)
         parser.add_argument("--ev-select-toursize", type=int, default=3)
         parser.add_argument("--ev-minimize-fitness", action="store_true")
+        parser.add_argument("--ev-vmap", action="store_true",
+                            help="Vectorize fitness evaluation: train all candidates "
+                                 "of a generation as one vmapped program (TPU-native "
+                                 "replacement for the reference's sequential runs).")
         parser.add_argument("--ev-continue-run", type=str, default=None)
         if modify_parser is not None:
             modify_parser(parser)
@@ -268,10 +272,13 @@ def _make_history(**setup) -> dict:
 def evolve_setup(oesize: int, generation_pool: int, mutation_pool: int,
                  mutation_indp: float, mutation_oneofkbest: int, mutation_chance: float,
                  mate_chance: float, generations: int, select_toursize: int,
-                 trainer: Trainer, oeds, args: Namespace, maxfit: bool = True):
+                 trainer: Trainer, oeds, args: Namespace, maxfit: bool = True,
+                 vmap_candidates: bool = False):
     """Prepare the GA toolbox + initial population (parity: main/__init__.py:366-430).
     The history's setup keys (incl. the reference's 'geneation_pool' typo) are
-    kept for resume-file compatibility."""
+    kept for resume-file compatibility. ``vmap_candidates`` registers the
+    vectorized fitness evaluator (eoe_tpu.evolve.vmapped): K candidates train
+    as ONE vmapped program instead of K sequential runs."""
     history = _make_history(
         oesize=oesize, geneation_pool=generation_pool, mutation_pool=mutation_pool,
         mutation_indp=mutation_indp, mutation_oneofkbest=mutation_oneofkbest,
@@ -281,6 +288,10 @@ def evolve_setup(oesize: int, generation_pool: int, mutation_pool: int,
     toolbox = Toolbox()
     toolbox.register("evaluate", evaluate_individual, trainer=trainer, args=args,
                      toolbox=toolbox)
+    if vmap_candidates:
+        from eoe_tpu.evolve.vmapped import VmappedEvaluator
+        evaluator = VmappedEvaluator(trainer, args)
+        toolbox.register("evaluate_population", evaluator.evaluate_population)
     toolbox.register("mate", mate_individuals, oeds=oeds, poolsize=mutation_pool,
                      indp=mutation_indp, oneofkbest=mutation_oneofkbest)
     toolbox.register("mutate", mutate_individual, oeds=oeds, poolsize=mutation_pool,

@@ -77,7 +77,7 @@ def main(argv=None):
         args.ev_oesize, args.ev_generation_pool, args.ev_mutation_pool,
         args.ev_mutation_indp, args.ev_mutation_oneofkbest, args.ev_mutation_chance,
         args.ev_mate_chance, args.ev_generations, args.ev_select_toursize, trainer, ds,
-        args, not args.ev_minimize_fitness)
+        args, not args.ev_minimize_fitness, vmap_candidates=args.ev_vmap)
     if args.ev_continue_run is not None:
         history, pop, start_gen, logger, toolbox = load_evolve(
             args.ev_continue_run, tree, history, pop, start_gen, logger, trainer, ds,

@@ -73,6 +73,64 @@ class Timer:
         self.logger.print(f"{self.name} took {time.time() - self.t0:.3f}s")
 
 
+class Tracker:
+    """Nested-loop progress tracker with smoothed live metrics (role of the
+    reference's tqdm Tracker, logger.py:505-569): ``track([n_outer, n_inner],
+    metrics_fns, desc)`` renders `desc outer i/n inner j/m | k=v ...` lines;
+    metric values are exponentially smoothed."""
+
+    def __init__(self, logger, totals: Sequence[int], metrics: Optional[dict] = None,
+                 desc: str = "", smooth: float = 0.9, print_every: float = 0.5):
+        self.logger = logger
+        self.totals = list(totals)
+        self.counts = [0] * len(totals)
+        self.metrics = metrics or {}
+        self.desc = desc
+        self.smooth = smooth
+        self._smoothed = {}
+        self._last_print = 0.0
+        self.print_every = print_every
+        self.n = 0  # total inner updates (scalar-log step counter)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self._render(force=True)
+
+    def update(self, increments: Sequence[int]):
+        for i, inc in enumerate(increments):
+            self.counts[i] += inc
+            if inc and i < len(self.counts) - 1:  # outer tick resets inner counters
+                for j in range(i + 1, len(self.counts)):
+                    self.counts[j] = 0
+        self.n += increments[-1] if increments else 0
+        for k, fn in self.metrics.items():
+            try:
+                v = fn()
+            except Exception:
+                v = None
+            if isinstance(v, (int, float)) and np.isfinite(v):
+                prev = self._smoothed.get(k)
+                self._smoothed[k] = (v if prev is None
+                                     else self.smooth * prev + (1 - self.smooth) * v)
+            elif v is not None:
+                self._smoothed[k] = v
+        self._render()
+
+    def _render(self, force: bool = False):
+        now = time.time()
+        if not force and now - self._last_print < self.print_every:
+            return
+        self._last_print = now
+        pos = " ".join(f"{c}/{t}" for c, t in zip(self.counts, self.totals))
+        mets = " | ".join(
+            f"{k}={v:.4g}" if isinstance(v, float) else f"{k}={v}"
+            for k, v in self._smoothed.items() if v is not None)
+        print(f"\r{self.desc} {pos} {('| ' + mets) if mets else ''}",
+              end="" if not force else "\n", flush=True)
+
+
 class Logger:
     def __init__(self, logdir: str, comment: str = "", noname: bool = False, active: bool = True,
                  tensorboard: bool = False, archive_source: bool = True):
@@ -132,6 +190,23 @@ class Logger:
 
     def timeit(self, name: str = "") -> Timer:
         return Timer(self, name)
+
+    def track(self, totals: Sequence[int], metrics: Optional[dict] = None,
+              desc: str = "") -> "Tracker":
+        """Nested progress tracker (role of logger.py:497-503 track())."""
+        return Tracker(self, totals, metrics, desc)
+
+    def hist(self, name: str, values, step: int = 0, bins: int = 30):
+        """Histogram logging: tensorboard when available, else a compact
+        JSON record in scalars.json (role of logger.py:479-491)."""
+        if not self.active:
+            return
+        vals = np.asarray(values).reshape(-1)
+        if self.tb_writer is not None:
+            self.add_histogram(name, vals, step)
+        counts, edges = np.histogram(vals, bins=bins)
+        self._scalars.setdefault(f"hist/{name}", []).append(
+            (int(step), {"counts": counts.tolist(), "edges": edges.tolist()}))
 
     # ---------------------------------------------------------- json / setup
 

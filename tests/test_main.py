@@ -242,3 +242,24 @@ def test_train_only_and_inference_custom(tmp_path, rng):
         ADCustomDS.eval_only = False
         ADCustomDS.base_folder = "custom"
         ADCustomDS.classes = []
+
+
+def test_evolve_vmapped_evaluator(tmp_path):
+    """The vmapped fitness path (--ev-vmap): K candidates train as ONE vmapped
+    program; uses a small model so the CPU compile stays test-sized."""
+    import argparse
+    from eoe_tpu.evolve import Individual, init_individual
+    from eoe_tpu.evolve.vmapped import VmappedEvaluator
+    from eoe_tpu.main import evolve_trainer
+    from eoe_tpu.models.cnn import CNN32
+
+    args = argparse.Namespace(classes=[0], iterations=1)
+    trainer, oeds, _ = evolve_trainer(
+        "hsc", "", "cifar10", "cifar100", 1, 1e-3, 0.0, [], 16, "one_vs_rest", None,
+        CNN32(rep_dim=32), [], [], classes=[0], dataset_path=str(tmp_path),
+        superdir=str(tmp_path))
+    ev = VmappedEvaluator(trainer, args, chunk=4)
+    inds = [Individual([init_individual(oeds)]) for _ in range(3)]
+    fits = ev.evaluate_population([list(i) for i in inds])
+    assert len(fits) == 3
+    assert all(np.isfinite(f) and 0.0 <= f <= 1.0 for f in fits)

@@ -102,3 +102,66 @@ def test_models_jit_and_grad():
 
     g = jax.grad(loss_fn)(variables["params"])
     assert all(np.isfinite(np.asarray(p)).all() for p in jax.tree_util.tree_leaves(g))
+
+
+def test_wide_resnet50_shapes_and_converter():
+    """WideResNet50Pretrained (torchvision wide_resnet50_2 architecture,
+    reference resnet.py:8-21): param-count parity with torch and converter
+    structural roundtrip from a synthetic torchvision-layout state dict."""
+    import numpy as np
+    from eoe_tpu.models.resnet50 import (WideResNet50Pretrained,
+                                         load_torchvision_state_dict)
+
+    model = WideResNet50Pretrained(rep_dim=16)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (1, 16)
+
+    # trunk parameter count == torchvision wide_resnet50_2 minus its fc
+    # (66,834,240 conv/bn params; the 2048x1000 fc is replaced)
+    n = sum(int(np.prod(p.shape)) for k, p in
+            jax.tree_util.tree_flatten_with_path(variables["params"])[0]
+            if "fc" not in jax.tree_util.keystr(k))
+    assert n == 66_834_240, n
+
+    # synthetic torchvision-layout state dict -> converter -> same tree paths
+    rng = np.random.default_rng(0)
+    sd = {}
+
+    def add_bn(key, c):
+        sd[key + ".weight"] = np.ones(c, np.float32)
+        sd[key + ".bias"] = np.zeros(c, np.float32)
+        sd[key + ".running_mean"] = np.zeros(c, np.float32)
+        sd[key + ".running_var"] = np.ones(c, np.float32)
+
+    sd["conv1.weight"] = rng.normal(0, .01, (64, 3, 7, 7)).astype(np.float32)
+    add_bn("bn1", 64)
+    inp = 64
+    for stage, blocks in enumerate((3, 4, 6, 3), start=1):
+        base = 64 * 2 ** (stage - 1)
+        planes, outp = base * 2, base * 4
+        for b in range(blocks):
+            pfx = f"layer{stage}.{b}"
+            sd[pfx + ".conv1.weight"] = rng.normal(0, .01, (planes, inp, 1, 1)).astype(np.float32)
+            add_bn(pfx + ".bn1", planes)
+            sd[pfx + ".conv2.weight"] = rng.normal(0, .01, (planes, planes, 3, 3)).astype(np.float32)
+            add_bn(pfx + ".bn2", planes)
+            sd[pfx + ".conv3.weight"] = rng.normal(0, .01, (outp, planes, 1, 1)).astype(np.float32)
+            add_bn(pfx + ".bn3", outp)
+            if b == 0:
+                sd[pfx + ".downsample.0.weight"] = rng.normal(0, .01, (outp, inp, 1, 1)).astype(np.float32)
+                add_bn(pfx + ".downsample.1", outp)
+            inp = outp
+    trunk = load_torchvision_state_dict(sd)
+    # converted trunk params match the init tree structure (minus head)
+    def paths(t):
+        return {jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(t)[0]}
+    init_trunk = {k: v for k, v in variables["params"].items() if k != "fc"}
+    assert paths(trunk["params"]) == paths(init_trunk)
+    # and the model runs with them
+    params = dict(trunk["params"], fc=variables["params"]["fc"])
+    out2 = model.apply({"params": params, "batch_stats": trunk["batch_stats"]},
+                       x, train=False)
+    assert np.isfinite(np.asarray(out2)).all()
