@@ -31,9 +31,9 @@ def build_trainer(model_kind: str, logger):
     if model_kind == "clip":
         from eoe_tpu.models.clip import CLIP, VIT_B32
         model = CLIP(VIT_B32, dtype=jnp.bfloat16)
-        # B=256 (512 with the OE half) amortizes per-step dispatch latency;
-        # HBM holds the 2x308MB resident arrays + model comfortably on v5e
-        HW, N, B, epochs = 224, 2048, 256, 4
+        # combined step batch = 2B = 256 images: the per-forward throughput
+        # sweet spot measured on v5e (512 regresses ~11%; see memory notes)
+        HW, N, B, epochs = 224, 2048, 128, 4
         train_specs = [{"op": "random_hflip"},
                        {"op": "clip_pil_preprocessing"},
                        {"op": "clip_tensor_preprocessing"}]

@@ -266,9 +266,16 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             steps.append((False, partial(F.global_contrast_normalization, scale="l1")))
             steps.append((STATS_OP, partial(_normalize_rt, mean=stats.mean, std=stats.std)))
         elif op == "clip_pil_preprocessing":
-            # bicubic resize + center crop to CLIP's 224 input (clip.py:58-65)
+            # bicubic resize + RGB conversion to CLIP's 224 input (clip.py:58-65;
+            # the reference's _convert_image_to_rgb expands grayscale datasets)
             res = int(s.get("resolution", 224))
-            steps.append((False, partial(resize, size=(res, res), method="cubic")))
+
+            def _clip_pil(x, res=res):
+                if x.shape[-1] == 1:
+                    x = jnp.repeat(x, 3, axis=-1)
+                return resize(x, size=(res, res), method="cubic")
+
+            steps.append((False, _clip_pil))
         elif op == "clip_tensor_preprocessing":
             steps.append((False, partial(normalize, mean=CLIP_MEAN, std=CLIP_STD)))
         elif op == "normalize_with":

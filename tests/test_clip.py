@@ -333,3 +333,26 @@ def test_clip_missing_checkpoint_error(tmp_path):
                     oe_dataset=None, datapath="/tmp", logger=None, epochs=0, lr=1e-4,
                     wdk=0.0, milestones=[], batch_size=16,
                     checkpoint_path="/nonexistent/x.pt")
+
+
+def test_clip_grayscale_dataset_rgb_expansion(tmp_path, clip_trainer_parts):
+    """CLIP on MNIST-family datasets: the clip preprocessing expands 1-channel
+    rasters to RGB (reference _convert_image_to_rgb, clip.py:61)."""
+    from eoe_tpu.ops.preprocess import compile_pipeline
+    fn = compile_pipeline([{"op": "clip_pil_preprocessing", "resolution": 32},
+                           {"op": "clip_tensor_preprocessing"}])
+    gray = jnp.zeros((2, 28, 28, 1))
+    out = fn(gray)
+    assert out.shape == (2, 32, 32, 3)
+    # end-to-end: zero-shot CLIP on fake mnist
+    cfg, variables = clip_trainer_parts
+    from eoe_tpu.training import TRAINER
+    from eoe_tpu.utils.logger import Logger
+    trainer = TRAINER["clip"](
+        model=None, train_specs=None, test_specs=None, dataset="mnist",
+        oe_dataset="emnist", datapath=str(tmp_path / "data"),
+        logger=Logger(str(tmp_path), noname=True, archive_source=False),
+        epochs=0, lr=1e-4, wdk=0.0, milestones=[], batch_size=16,
+        clip_config=cfg, clip_variables=variables)
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert np.isfinite(res["mean_auc"])
