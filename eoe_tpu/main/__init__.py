@@ -98,6 +98,9 @@ def default_argsparse(modify_descr: Callable[[str], str],
     parser.add_argument("--superdir", type=str, default=".")
     parser.add_argument("--datapath", type=str, default=None,
                         help="Data root (default: $EOE_TPU_DATAPATH or ./data).")
+    parser.add_argument("--vmap-seeds", action="store_true",
+                        help="Train all seeds of a class as ONE vmapped program "
+                             "(device-resident datasets; TPU-native grid parallelism).")
     if modify_parser is not None:
         modify_parser(parser)
     args = parser.parse_args(argv)
@@ -403,7 +406,8 @@ def run_default_training(args: Namespace, model, train_specs, test_specs):
         args.ad_mode, args.devices, model, train_specs, test_specs,
         oe_limit_samples=args.oe_size, continue_run=continue_run,
         superdir=args.superdir, dataset_path=args.datapath)
-    return trainer.run(args.classes, args.iterations, snapshots)
+    return trainer.run(args.classes, args.iterations, snapshots,
+                       vmap_seeds=getattr(args, 'vmap_seeds', False))
 
 
 # ---------------------------------------------------------------- resume

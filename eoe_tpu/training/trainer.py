@@ -372,9 +372,11 @@ class Trainer:
 
     def run(self, run_classes: Optional[List[int]] = None, run_seeds: int = 1,
             load: Optional[List[List[str]]] = None, test: bool = True,
-            train: bool = True) -> Tuple[Optional[list], dict]:
+            train: bool = True, vmap_seeds: bool = False) -> Tuple[Optional[list], dict]:
         """Iterate classes × seeds: build dataset, train, evaluate, snapshot
-        (parity: ad_trainer.py:177-354)."""
+        (parity: ad_trainer.py:177-354). ``vmap_seeds`` trains all seeds of a
+        class as one vmapped program on device-resident datasets (SURVEY.md
+        §2.7(b)); deviation: the seeds then share one dataset build."""
         self.logger.logsetup({"run_classes": run_classes, "run_seeds": run_seeds,
                               "load": load}, step=1)
         classes = str_labels(self.dsstr)
@@ -388,6 +390,9 @@ class Trainer:
 
         for c in run_classes:
             cstr = classes[c]
+            vmapped_results = None
+            if vmap_seeds and train and run_seeds > 1 and load is None:
+                vmapped_results = self._try_vmap_seeds(c, cstr, run_seeds)
             for it in range(run_seeds):
                 self.logger.print(f'------ start training cls {c} "{cstr}" (seed {it}) ------')
                 cur_load = None
@@ -397,6 +402,22 @@ class Trainer:
                 rng = np.random.default_rng([max(self.seed, 0), c, it])
                 key = jax.random.fold_in(jax.random.fold_in(
                     jax.random.key(self.seed), c), it)
+                if vmapped_results is not None:
+                    ds, (state, roc) = vmapped_results[0], vmapped_results[1][it]
+                    states[c].append(state)
+                    train_cls_rocs[c].append(roc)
+                    if test and state is not None:
+                        eroc, eprc = self.eval_cls(state, ds, c, cstr, it)
+                    else:
+                        eroc, eprc = None, None
+                    eval_cls_rocs[c].append(eroc)
+                    eval_cls_prcs[c].append(eprc)
+                    if state is not None:
+                        self.snapshot(f"snapshot_cls{c}_it{it}", state, self.epochs,
+                                      ds.ds_statistics)
+                        if not Trainer.KEEP_SNAPSHOT_IN_RAM:
+                            states[c][-1] = None
+                    continue
                 ds = self._build_dataset(c, rng, cur_load)
 
                 state = roc = None
@@ -480,6 +501,28 @@ class Trainer:
             "cls_aucs": [[r.get_score() if r is not None else None for r in cr]
                          for cr in eval_cls_rocs],
         }
+
+    def _try_vmap_seeds(self, c: int, cstr: str, run_seeds: int):
+        """Train all seeds of class c as one vmapped program when the dataset
+        is device-resident; None -> caller falls back to the sequential path."""
+        from eoe_tpu.training.vmapped_seeds import train_cls_vmapped_seeds
+        rng = np.random.default_rng([max(self.seed, 0), c, 0])
+        ds = self._build_dataset(c, rng, None)
+        train_set = ds.train_set
+        oe_set = ds.oe.train_set if isinstance(ds, CombinedDataset) else None
+        if not (_is_resident(train_set) and (oe_set is None or _is_resident(oe_set))):
+            return None
+        keys = [jax.random.fold_in(jax.random.fold_in(
+            jax.random.key(self.seed), c), it) for it in range(run_seeds)]
+        try:
+            results = train_cls_vmapped_seeds(self, ds, c, cstr, run_seeds, keys)
+        except NanGradientsError:
+            self.logger.warning(
+                f'Gradients got NaN in the vmapped-seed run for class {c} "{cstr}"; '
+                f"falling back to sequential training.")
+            return None
+        self.logger.print(f"trained {run_seeds} seeds of cls {c} vmapped")
+        return ds, results
 
     def _build_dataset(self, c: int, rng: np.random.Generator, cur_load: Optional[str]):
         if self.ds is not None:

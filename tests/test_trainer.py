@@ -153,3 +153,19 @@ def test_throughput_accounting(tmp_path):
     trainer.run(run_classes=[0], run_seeds=1)
     assert trainer.images_seen > 0
     assert trainer.images_per_second > 0
+
+
+def test_vmap_seeds_matches_grid_semantics(tmp_path):
+    """run(vmap_seeds=True): all seeds of a class train as one vmapped program;
+    per-seed results are finite, distinct, and the full output contract holds."""
+    trainer = make_trainer(tmp_path / "v", "hsc", epochs=2)
+    _, res = trainer.run(run_classes=[0], run_seeds=3, vmap_seeds=True)
+    assert len(res["cls_aucs"][0]) == 3
+    assert all(np.isfinite(a) for a in res["cls_aucs"][0])
+    # snapshots per seed written
+    for it in range(3):
+        assert pt.exists(trainer.logger.snapshot_path(f"snapshot_cls0_it{it}"))
+    # per-seed scores differ (independent init keys)
+    s0 = json.load(open(pt.join(trainer.logger.dir, "eval_cls0_it0_anomaly_scores.json")))
+    s1 = json.load(open(pt.join(trainer.logger.dir, "eval_cls0_it1_anomaly_scores.json")))
+    assert s0 != s1
