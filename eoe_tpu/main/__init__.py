@@ -42,7 +42,7 @@ from eoe_tpu.parallel import mesh as meshlib
 from eoe_tpu.training import TRAINER, Trainer
 from eoe_tpu.utils.logger import Logger
 
-AD_MODE_MAP = {"ovr": "one_vs_rest", "loo": "leave_one_out"}
+AD_MODE_MAP = {"ovr": "one_vs_rest", "loo": "leave_one_out", "ff": "fifty_fifty"}
 
 
 def default_datapath() -> str:
@@ -80,8 +80,8 @@ def default_argsparse(modify_descr: Callable[[str], str],
                         help="LR-scheduler milestones; each reduces the LR by 0.1.")
     parser.add_argument("-o", "--objective", type=str, default="hsc",
                         choices=tuple(TRAINER.keys()))
-    parser.add_argument("--ad-mode", type=str, default="ovr", choices=("ovr", "loo"),
-                        help="one-vs-rest or leave-one-class-out benchmark mode.")
+    parser.add_argument("--ad-mode", type=str, default="ovr", choices=("ovr", "loo", "ff"),
+                        help="one-vs-rest, leave-one-class-out, or fifty-fifty benchmark mode.")
     parser.add_argument("--classes", type=int, nargs="+", default=None,
                         help="Class ids to iterate over; defaults to all.")
     parser.add_argument("-d", "--devices", type=int, metavar="N-CHIPS", default=None,

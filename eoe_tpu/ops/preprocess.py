@@ -309,6 +309,10 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
 
     apply.specs = list(specs or ())
     apply.n_random = n_random
+    # bf16-safe: every op tolerates low-precision inputs (jnp.fft needs f32)
+    ops_used = {_canon(s)["op"].lower() for s in (specs or ())}
+    apply.low_precision_safe = not (ops_used & {"hpf", "lpf", "gcn",
+                                                *GCN_PLACEHOLDERS})
     return apply
 
 

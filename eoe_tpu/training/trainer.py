@@ -40,7 +40,7 @@ from eoe_tpu.parallel import mesh as meshlib
 from eoe_tpu.training.optim import make_optimizer
 from eoe_tpu.utils.logger import Logger
 
-AD_MODES = ("one_vs_rest", "leave_one_out")
+AD_MODES = ("one_vs_rest", "leave_one_out", "fifty_fifty")
 
 
 class NanGradientsError(RuntimeError):
@@ -164,6 +164,9 @@ class Trainer:
             return [cur_class]
         elif self.ad_mode == "leave_one_out":
             return [c for c in range(no_classes(self.dsstr)) if c != cur_class]
+        elif self.ad_mode == "fifty_fifty":
+            n = no_classes(self.dsstr)
+            return [c % n for c in range(cur_class, n // 2 + cur_class)]
         raise NotImplementedError(f"AD mode {self.ad_mode} unknown.")
 
     # ------------------------------------------------------------- model state
@@ -236,19 +239,20 @@ class Trainer:
         """One half-batch through (conditional ->) pipeline. ``part`` selects the
         normal vs OE dataset of a CombinedDataset (train only). ``rt_stats`` are
         traced (mean, std) arrays: per-class statistics enter as step INPUTS so
-        one compiled step serves every class/seed (no recompilation)."""
+        one compiled step serves every class/seed (no recompilation).
+
+        (A bf16-input fast path was measured on v5e and showed no gain over
+        letting XLA fuse the f32 chain — the pipelines therefore stay f32 and
+        the step casts to the compute dtype at the model boundary.)"""
         if isinstance(ds, CombinedDataset):
             sub = ds.oe if part == "oe" else ds.normal
         else:
             sub = ds
+        pipe = sub.train_pipeline if train else sub.test_pipeline
+        cond = sub.train_conditional_pipeline if train else sub.test_conditional_pipeline
         k1, k2 = (jax.random.split(key) if key is not None else (None, None))
-        if train:
-            x = sub.train_conditional_pipeline(x, labels, k1, rt_stats)
-            x = sub.train_pipeline(x, k2, rt_stats)
-        else:
-            x = sub.test_conditional_pipeline(x, labels, k1, rt_stats)
-            x = sub.test_pipeline(x, k2, rt_stats)
-        return x
+        x = cond(x, labels, k1, rt_stats)
+        return pipe(x, k2, rt_stats)
 
     def _rt_stats(self, ds) -> Optional[Tuple[jax.Array, jax.Array]]:
         stats = (ds.normal if isinstance(ds, CombinedDataset) else ds).stats

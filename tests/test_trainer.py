@@ -169,3 +169,28 @@ def test_vmap_seeds_matches_grid_semantics(tmp_path):
     s0 = json.load(open(pt.join(trainer.logger.dir, "eval_cls0_it0_anomaly_scores.json")))
     s1 = json.load(open(pt.join(trainer.logger.dir, "eval_cls0_it1_anomaly_scores.json")))
     assert s0 != s1
+
+
+def test_nan_retry_gives_up_gracefully(tmp_path):
+    """NaN scores raise NanGradientsError; run() retries 5x then records None
+    for the combo instead of crashing (ad_trainer.py:257-280 semantics)."""
+    logger = Logger(str(tmp_path), noname=True, archive_source=False)
+    trainer = Trainer(  # lr=1e32: guaranteed blow-up
+        model=TinyNet(), objective="hsc", train_specs=[], test_specs=[],
+        dataset="cifar10", oe_dataset="cifar100", datapath=str(tmp_path / "data"),
+        logger=logger, epochs=1, lr=1e32, wdk=0.0, milestones=[], batch_size=16)
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert res["cls_aucs"][0][0] is None
+    assert np.isnan(res["mean_auc"])
+
+
+def test_gcn_normalize_stats_mode(tmp_path):
+    """'gcn-normalize' placeholder: GCN applied + min-max-style stats extracted
+    from the raw train split (bases.py:24-45 GCN_NORM mode)."""
+    logger = Logger(str(tmp_path), noname=True, archive_source=False)
+    trainer = TRAINER["hsc"](
+        model=TinyNet(), train_specs=["gcn-normalize"], test_specs=["gcn-normalize"],
+        dataset="cifar10", oe_dataset="cifar100", datapath=str(tmp_path / "data"),
+        logger=logger, epochs=1, lr=1e-3, wdk=0.0, milestones=[], batch_size=16)
+    _, res = trainer.run(run_classes=[0], run_seeds=1)
+    assert np.isfinite(res["mean_auc"])
