@@ -563,7 +563,10 @@ class Trainer:
 
         if it == 0 and self.logger.active:
             prev = ds.normal.preview(40) if combined else ds.preview(40)
-            self.logger.logimg(f"training_cls{cls}-{clsstr}_preview", prev)
+            stats_counts = ds.n_normal_anomalous()
+            self.logger.logimg(f"training_cls{cls}-{clsstr}_preview", prev,
+                               rowheaders=[str(stats_counts[k])
+                                           for k in sorted(stats_counts)])
 
         center = self.center = self.prepare_metric(clsstr, ds, state, it)
         rt_stats = self._rt_stats(ds)
@@ -701,8 +704,11 @@ class Trainer:
         rt_stats = self._rt_stats(ds)
 
         if it == 0 and self.logger.active:
+            stats_counts = ds.n_normal_anomalous(False)
             self.logger.logimg(f"eval_cls{cls}-{clsstr}_preview",
-                               normal_ds.preview(20, train=False))
+                               normal_ds.preview(20, train=False),
+                               rowheaders=[f"{k}: {v}" for k, v in
+                                           sorted(stats_counts.items())])
 
         scores = np.empty(n, dtype=np.float32)
         for i in range(0, n, B):

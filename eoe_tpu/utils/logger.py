@@ -260,9 +260,11 @@ class Logger:
 
     # ---------------------------------------------------------- images
 
-    def logimg(self, name: str, images: np.ndarray, nrow: int = 8, rowheaders: Optional[List[str]] = None):
-        """Save an image grid PNG (role of logger.py:202-295). `images` is
-        (n, h, w, c) float [0,1] or uint8."""
+    def logimg(self, name: str, images: np.ndarray, nrow: int = 8,
+               rowheaders: Optional[List[str]] = None):
+        """Save an image grid PNG with optional per-row header captions
+        (role of logger.py:202-295). `images` is (n, h, w, c) float [0,1] or
+        uint8."""
         if not self.active:
             return
         try:
@@ -275,15 +277,31 @@ class Logger:
         n, h, w, c = imgs.shape
         ncol = nrow
         nrows = int(np.ceil(n / ncol))
-        grid = np.zeros((nrows * (h + 2), ncol * (w + 2), c), dtype=np.uint8)
+        header_w = 0
+        if rowheaders:
+            header_w = max(10 * max(len(str(s)) for s in rowheaders) + 6, 40)
+        grid = np.zeros((nrows * (h + 2), header_w + ncol * (w + 2), c), dtype=np.uint8)
         for i in range(n):
             r, col = divmod(i, ncol)
-            grid[r * (h + 2) + 1:r * (h + 2) + 1 + h, col * (w + 2) + 1:col * (w + 2) + 1 + w] = imgs[i]
+            grid[r * (h + 2) + 1:r * (h + 2) + 1 + h,
+                 header_w + col * (w + 2) + 1:header_w + col * (w + 2) + 1 + w] = imgs[i]
         if c == 1:
             grid = grid[..., 0]
+        img = Image.fromarray(grid)
+        if rowheaders:
+            try:
+                from PIL import ImageDraw
+                if img.mode == "L":
+                    img = img.convert("RGB")
+                draw = ImageDraw.Draw(img)
+                for r, text in enumerate(rowheaders[:nrows]):
+                    draw.text((3, r * (h + 2) + max(h // 2 - 5, 0)), str(text),
+                              fill=(255, 255, 255))
+            except Exception:
+                pass
         path = pt.join(self.dir, f"{name}.png")
         os.makedirs(pt.dirname(path), exist_ok=True)
-        Image.fromarray(grid).save(path)
+        img.save(path)
 
     # ---------------------------------------------------------- curves
 

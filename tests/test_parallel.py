@@ -66,3 +66,31 @@ def test_param_shardings_tp_rules(mesh8):
     assert shardings["block"]["mlp_up"]["kernel"].spec == P(None, "model")
     assert shardings["block"]["mlp_down"]["kernel"].spec == P("model", None)
     assert shardings["block"]["other"]["kernel"].spec == P()
+
+
+def test_batchnorm_global_stats_under_sharding(mesh8):
+    """flax BatchNorm reduces over the GLOBAL batch even when the batch is
+    sharded over the mesh: XLA lowers the mean/var reduction to a cross-chip
+    psum. The sharded batch stats must equal the unsharded ones."""
+    import flax.linen as nn
+
+    class BNNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = True):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5)(x)
+
+    model = BNNet()
+    x = np.random.default_rng(0).normal(size=(16, 4)).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(x), train=False)
+
+    def stats(xin):
+        _, mut = jax.jit(lambda v, x: model.apply(v, x, train=True,
+                                                  mutable=["batch_stats"]))(variables, xin)
+        return jax.tree_util.tree_map(np.asarray, mut["batch_stats"])
+
+    ref = stats(jnp.asarray(x))
+    xs = jax.device_put(x, meshlib.batch_sharding(mesh8, 2))
+    sharded = stats(xs)
+    for a, b in zip(jax.tree_util.tree_leaves(sharded), jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(a, b, rtol=1e-5)
