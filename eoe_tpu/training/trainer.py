@@ -211,10 +211,20 @@ class Trainer:
 
     def make_optimizer(self, steps_per_epoch: int) -> optax.GradientTransformation:
         """Adam for all models, SGD+nesterov for CLIP — the reference switches
-        on the model type (ad_trainer.py:380-384); ClipTrainer also overrides."""
+        on the model type (ad_trainer.py:380-384); ClipTrainer also overrides.
+        A frozen CustomNet feature model gets zero updates (the functional
+        equivalent of the reference's requires_grad_(False), custom_base.py:35-40)."""
         from eoe_tpu.models.clip.model import CLIP as ClipModel
+        from eoe_tpu.models.custom_base import CustomNet
+
         kind = "sgd" if isinstance(self.model, ClipModel) else "adam"
-        return make_optimizer(kind, self.lr, self.wdk, self.milestones, steps_per_epoch)
+        tx = make_optimizer(kind, self.lr, self.wdk, self.milestones, steps_per_epoch)
+        if isinstance(self.model, CustomNet) and self.model.freeze:
+            from eoe_tpu.models.custom_base import frozen_param_labels
+            tx = optax.multi_transform(
+                {"trainable": tx, "frozen": optax.set_to_zero()},
+                lambda params: frozen_param_labels(params, True))
+        return tx
 
     def apply_model(self, state: TrainState, x: jax.Array, train: bool):
         variables = {"params": state.params}
@@ -710,7 +720,9 @@ class Trainer:
                                rowheaders=[f"{k}: {v}" for k, v in
                                            sorted(stats_counts.items())])
 
-        scores = np.empty(n, dtype=np.float32)
+        # async eval: dispatch all batches, sync once at the end (per-batch
+        # np.asarray would serialize host<->device round trips)
+        outs = []
         for i in range(0, n, B):
             pos = np.arange(i, min(i + B, n))
             x = test_set.gather(pos)
@@ -719,8 +731,9 @@ class Trainer:
                 pad = B - len(pos)
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
                 lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
-            out = eval_fn(state, jnp.asarray(x), jnp.asarray(lb), self.center, rt_stats)
-            scores[pos] = np.asarray(out)[: len(pos)]
+            outs.append(eval_fn(state, jnp.asarray(x), jnp.asarray(lb),
+                                self.center, rt_stats))
+        scores = np.concatenate([np.asarray(o) for o in outs])[:n]
 
         keep = labels >= 0  # 'unlabeled' filtering (ad_trainer.py:517-521)
         if (labels == 0).sum() > 0 and (labels == 1).sum() > 0:

@@ -165,3 +165,31 @@ def test_wide_resnet50_shapes_and_converter():
     out2 = model.apply({"params": params, "batch_stats": trunk["batch_stats"]},
                        x, train=False)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_customnet_freeze_zeroes_feature_updates(tmp_path):
+    """--custom-model-freeze: the feature-model subtree gets zero updates while
+    the prediction head still trains (reference custom_base.py:35-40)."""
+    import numpy as np
+    import optax
+    from eoe_tpu.models.custom import WideResNetCustom
+    from eoe_tpu.training.trainer import Trainer
+    from eoe_tpu.utils.logger import Logger
+
+    model = WideResNetCustom(feature_dim=16, prediction_head=True, freeze=True)
+    trainer = Trainer(
+        model=model, objective="hsc", train_specs=[], test_specs=[],
+        dataset="cifar10", oe_dataset=None, datapath="/tmp",
+        logger=Logger(str(tmp_path), active=False), epochs=1, lr=1e-2, wdk=0.0,
+        milestones=[], batch_size=4)
+    tx = trainer.make_optimizer(1)
+    x = jnp.ones((2, 32, 32, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    params = variables["params"]
+    opt = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt, params)
+    feat_updates = jax.tree_util.tree_leaves(updates["feature_model"])
+    head_updates = jax.tree_util.tree_leaves(updates["final_linear"])
+    assert all(np.all(np.asarray(u) == 0) for u in feat_updates)
+    assert any(np.any(np.asarray(u) != 0) for u in head_updates)
