@@ -17,7 +17,7 @@ import os
 import os.path as pt
 import pickle
 import tarfile
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -8,7 +8,6 @@ leaky-relu gain like the reference.
 """
 
 import math
-from typing import Any
 
 import flax.linen as nn
 import jax

@@ -8,8 +8,6 @@ defined in :mod:`eoe_tpu.models.custom` are auto-discovered by the
 train_only_custom / inference_custom entry points.
 """
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

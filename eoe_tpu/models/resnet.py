@@ -7,14 +7,12 @@ before the residual add -> 7x7 avgpool -> fc to rep_dim (default 256), plus an
 optional 1-neuron clf head. Conv weights kaiming-normal (fan_out), BN scale 1
 except the CBAM SpatialGate BN which is zero-initialized (resnet.py:56-66).
 
-The reference's `WideResNet50Pretrained` (torchvision wide_resnet50_2 with
-ImageNet weights, resnet.py:8-21) requires downloaded torchvision weights; its
-role is covered here by `models.clip` pretrained encoders and by CustomNet
-feature models with `load_feature_model_weights`.
+The reference's `WideResNet50Pretrained` (torchvision wide_resnet50_2,
+resnet.py:8-21) lives in :mod:`eoe_tpu.models.resnet50` together with its
+torchvision-checkpoint converter.
 """
 
 import math
-from functools import partial
 from typing import Sequence
 
 import flax.linen as nn
@@ -22,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from eoe_tpu.models.cbam import CBAM
-from eoe_tpu.models.cnn import torch_linear_init
 
 
 def kaiming_normal_fan_out():

@@ -22,8 +22,6 @@ Filter semantics mirror transformations.py:
   minmax_norm    — per-sample min-max to [0,1] (:177-190)
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -25,7 +25,6 @@ sample). This replaces the reference's boolean-indexing (dynamic shapes) with
 fixed-shape masked means, which is required under jit.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax

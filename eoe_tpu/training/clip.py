@@ -22,7 +22,7 @@ place the file there. Tests inject tiny random weights instead.
 
 import os
 import os.path as pt
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
