@@ -194,3 +194,27 @@ def test_gcn_normalize_stats_mode(tmp_path):
         logger=logger, epochs=1, lr=1e-3, wdk=0.0, milestones=[], batch_size=16)
     _, res = trainer.run(run_classes=[0], run_seeds=1)
     assert np.isfinite(res["mean_auc"])
+
+
+def test_anomaly_scorer_from_snapshot(tmp_path, rng):
+    """Serving API: AnomalyScorer loads a trained snapshot and reproduces the
+    trainer's eval scores on the same images."""
+    from eoe_tpu.inference import AnomalyScorer
+
+    trainer = make_trainer(tmp_path, "hsc", epochs=2)
+    trainer.run(run_classes=[0], run_seeds=1)
+    snap = trainer.logger.snapshot_path("snapshot_cls0_it0")
+    scorer = AnomalyScorer(snap, model=TinyNet(), objective="hsc", batch_size=8)
+    # score the fake test set and compare with the logged per-sample scores
+    from eoe_tpu.datasets import load_dataset
+    ds = load_dataset("cifar10", str(tmp_path / "data"), [0], 0, [], [], None,
+                      oe_name="cifar100", rng=np.random.default_rng([0, 0, 0]))
+    imgs = ds.test_set.gather_all()
+    scores = scorer.score(imgs)
+    assert scores.shape == (len(imgs),)
+    logged = json.load(open(pt.join(trainer.logger.dir,
+                                    "eval_cls0_it0_anomaly_scores.json")))
+    np.testing.assert_allclose(scores, [logged[str(i)] for i in range(len(imgs))],
+                               rtol=1e-4)
+    # odd batch sizes pad correctly
+    np.testing.assert_allclose(scorer.score(imgs[:5]), scores[:5], rtol=1e-5)
