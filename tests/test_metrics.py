@@ -66,3 +66,18 @@ def test_running_stats_matches_oneshot(rng):
         rs.add(chunk)
     np.testing.assert_allclose(rs.get_mean(), x.mean(0), atol=1e-5)
     np.testing.assert_allclose(rs.get_std(), x.std(0, ddof=1), atol=1e-5)
+
+
+def test_tracker_smoothing_and_counts(capsys):
+    from eoe_tpu.utils.logger import Logger, Tracker
+    lg = Logger("/tmp/eoe_trk", active=False)
+    val = [2.0]
+    with lg.track([2, 2], {"loss": lambda: val[0]}, "t") as tr:
+        for ep in range(2):
+            for s in range(2):
+                val[0] *= 0.5
+                tr.update([0, 1])
+            tr.update([1, 0])
+    assert tr.counts[0] == 2
+    assert tr.n == 4
+    assert 0 < tr._smoothed["loss"] < 2.0
