@@ -123,7 +123,7 @@ def no_classes(dataset_name: str) -> int:
 def str_labels(dataset_name: str) -> List[str]:
     labels = DS_CHOICES[dataset_name]["str_labels"]
     if labels is None and dataset_name == "cub":
-        labels = importlib.import_module("eoe_tpu.datasets.cub").CUB_LABELS
+        labels = importlib.import_module("eoe_tpu.datasets.cub").cub_labels()
     if labels is None:
         raise ValueError(f"class labels of '{dataset_name}' depend on the data folder")
     return labels

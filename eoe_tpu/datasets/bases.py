@@ -215,10 +215,13 @@ class ADDataset:
         """Extract statistics if any pipeline contains a normalization
         placeholder, then compile all pipelines. Call after train/test sets
         are set."""
-        needs_stats = any(
-            isinstance(s, str) and s.lower() in (
-                "norm", "normalise", "normalize", "gcn-norm", "gcn-normalize", "gcn-normalise")
-            for s in (self.train_specs + self.test_specs))
+        def _op(s):
+            return (s if isinstance(s, str) else s.get("op", "")).lower()
+
+        placeholders = ("norm", "normalise", "normalize",
+                        "gcn-norm", "gcn-normalize", "gcn-normalise")
+        needs_stats = any(_op(s) in placeholders
+                          for s in (self.train_specs + self.test_specs))
         if needs_stats and self._stats is None:
             self._stats = self._extract_stats()
         self._train_pipeline = compile_pipeline(self.train_specs, self._stats)
@@ -229,7 +232,8 @@ class ADDataset:
 
     def _extract_stats(self) -> DatasetStats:
         mode = GCN_NORM if any(
-            isinstance(s, str) and s.lower().startswith("gcn") for s in (self.train_specs + self.test_specs)
+            (s if isinstance(s, str) else s.get("op", "")).lower().startswith("gcn")
+            for s in (self.train_specs + self.test_specs)
         ) else STD_NORM
         cached = self._load_cached_stats(mode)
         if cached is not None:

@@ -21,23 +21,27 @@ def _meta_dir(root: str) -> str:
 
 
 def cub_labels(datapath: str = None) -> List[str]:
-    """The 200 class names from classes.txt (cached); falls back to generic
-    names when the dataset isn't on disk."""
+    """The 200 class names from classes.txt. The cache is filled the first
+    time an ADCUB dataset is built (or when a datapath is passed explicitly);
+    until then generic placeholders are returned — CLIP prompts need the real
+    names, so build the dataset before str_labels('cub') when possible."""
     global _CUB_LABELS_CACHE
     if _CUB_LABELS_CACHE:
-        return _CUB_LABELS_CACHE
+        return list(_CUB_LABELS_CACHE)
     if datapath is not None:
-        f = pt.join(_meta_dir(pt.join(datapath, "cub")), "classes.txt")
-        if pt.exists(f):
-            with open(f) as r:
-                _CUB_LABELS_CACHE = [line.split(None, 1)[1].strip().split(".", 1)[-1]
-                                     for line in r if line.strip()]
-            return _CUB_LABELS_CACHE
+        _load_labels(pt.join(datapath, "cub"))
+        if _CUB_LABELS_CACHE:
+            return list(_CUB_LABELS_CACHE)
     return [f"class_{i:03d}" for i in range(200)]
 
 
-# resolved lazily by eoe_tpu.datasets.str_labels
-CUB_LABELS = cub_labels()
+def _load_labels(ds_root: str):
+    global _CUB_LABELS_CACHE
+    f = pt.join(_meta_dir(ds_root), "classes.txt")
+    if pt.exists(f):
+        with open(f) as r:
+            _CUB_LABELS_CACHE = [line.split(None, 1)[1].strip().split(".", 1)[-1]
+                                 for line in r if line.strip()]
 
 
 class ADCUB(ADDataset):
@@ -47,6 +51,7 @@ class ADCUB(ADDataset):
                  raw_shape, logger=None, limit_samples=float("inf"),
                  train_conditional=(), test_conditional=(), ds_statistics=None, rng=None):
         ds_root = pt.join(root, self.base_folder)
+        _load_labels(ds_root)  # make str_labels('cub') return the real names
         meta = _meta_dir(ds_root)
         if not pt.exists(pt.join(meta, "images.txt")):
             raise FileNotFoundError(

@@ -102,11 +102,13 @@ class ADMvTec(ADDataset):
         d = np.load(blob, allow_pickle=False)
         self.anomaly_label_strings = [str(s) for s in d["anomaly_label_strings"]]
 
-        # train: 'good' only, enlarged 10x (mvtec.py:160-162)
-        tr = np.repeat(d["train_data"], ENLARGE, axis=0)
-        trl = np.repeat(d["train_labels"], ENLARGE)
-        self._train_source = ArraySource(tr, trl)
-        self._train_set = self.create_subset(self._train_source)
+        # train: 'good' only, enlarged 10x by REPEATING SUBSET INDICES —
+        # repeating the data (like the reference, mvtec.py:160-162) would 10x
+        # RAM and push the source past the device-resident threshold
+        self._train_source = ArraySource(d["train_data"], d["train_labels"])
+        base_subset = self.create_subset(self._train_source)
+        self._train_set = Subset(self._train_source,
+                                 np.tile(base_subset.indices, ENLARGE))
 
         self._test_source = ArraySource(d["test_data"], d["test_labels"])
         self.test_anomaly_labels = d["test_anomaly_labels"]

@@ -75,9 +75,12 @@ class ADTinyImages(ADDataset):
     def __init__(self, root: str, normal_classes, nominal_label, train_specs, test_specs,
                  raw_shape, logger=None, limit_samples=float("inf"),
                  train_conditional=(), test_conditional=(), ds_statistics=None, rng=None):
+        from eoe_tpu.datasets.cifar import use_fake_data
         ds_root = pt.join(root, self.base_folder)
         bin_path = pt.join(ds_root, "tiny_images.bin")
-        if not pt.exists(bin_path):
+        if use_fake_data():
+            bin_path = None
+        elif not pt.exists(bin_path):
             raise FileNotFoundError(
                 f"80M TinyImages binary not found at {bin_path}. The dataset has been "
                 f"withdrawn by its authors; if you hold a copy, place tiny_images.bin "
@@ -88,7 +91,13 @@ class ADTinyImages(ADDataset):
             raw_shape=raw_shape, logger=logger, limit_samples=limit_samples,
             train_conditional=train_conditional, test_conditional=test_conditional,
             ds_statistics=ds_statistics, rng=rng)
-        self._train_source = TinyImagesSource(bin_path, load_valid_indices(ds_root))
+        if bin_path is None:  # offline fake-data mode (EOE_TPU_FAKE_DATA=1)
+            from eoe_tpu.datasets.bases import ArraySource
+            fake = np.random.default_rng(7).integers(
+                0, 256, (512, 32, 32, 3), dtype=np.uint8)
+            self._train_source = ArraySource(fake, np.zeros(512, np.int64))
+        else:
+            self._train_source = TinyImagesSource(bin_path, load_valid_indices(ds_root))
         self._train_set = self.create_subset(self._train_source)
         self._test_set = None  # OE only
         self.finalize()

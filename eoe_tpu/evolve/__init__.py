@@ -235,13 +235,16 @@ def evaluate(offspring, pop, gen: int, toolbox, history: dict, tree: Tree, oeds,
     ``evaluate_population`` (eoe_tpu.evolve.vmapped), the whole invalid set
     trains as vmapped chunks instead of sequential runs."""
     invalid = [ind for ind in offspring if not ind.fitness.valid]
+    # identity, not value equality: Individual subclasses list, and a valid
+    # clone with EQUAL values must not be re-evaluated
+    invalid_ids = {id(ind) for ind in invalid}
     vectorized = "evaluate_population" in getattr(toolbox, "_ops", {})
     prefits = {}
     if vectorized and invalid:
         logger.print(f"Evaluate {len(invalid)} individuals (vmapped)..")
         fits = toolbox.evaluate_population([list(ind) for ind in invalid])
         prefits = {id(ind): f for ind, f in zip(invalid, fits)}
-    for i, ind in [(i, ind) for i, ind in enumerate(offspring) if ind in invalid]:
+    for i, ind in [(i, ind) for i, ind in enumerate(offspring) if id(ind) in invalid_ids]:
         if vectorized:
             fit = prefits[id(ind)]
         else:

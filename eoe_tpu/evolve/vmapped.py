@@ -145,6 +145,12 @@ class VmappedEvaluator:
                 k = len(chunk)
                 Xo = jnp.asarray(np.stack([oe_images(ind) for ind in chunk]))
                 base = trainer.init_state(key, ds, max(sampler.steps, 1))
+                if trainer.center is None and trainer.objective.needs_center:
+                    # DSVDD center / CLIP prompt features — identical for all
+                    # candidates (same init weights + shared normal data)
+                    from eoe_tpu.datasets import str_labels
+                    clsstr = str_labels(trainer.dsstr)[self.args.classes[0]]
+                    trainer.center = trainer.prepare_metric(clsstr, ds, base, it)
                 states = jax.tree_util.tree_map(
                     lambda x: jnp.broadcast_to(x, (k, *x.shape)), base)
                 if trainer.epochs > 0:

@@ -179,6 +179,7 @@ def evolve_argsparse(modify_descr, modify_parser=None, modify_args=None, argv=No
 
 def _make_mesh(devices: Optional[int]):
     import jax
+    meshlib.init_distributed()  # no-op unless EOE_TPU_DISTRIBUTED=1
     n = len(jax.devices())
     if devices is not None:
         n = min(devices, n)

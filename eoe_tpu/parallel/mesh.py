@@ -42,10 +42,18 @@ class MeshConfig:
         return data, model
 
 
+_distributed_initialized = False
+
+
 def init_distributed():
-    """Initialize jax.distributed for multi-host pods if env vars indicate a
-    multi-process setup; a no-op on single host."""
-    if os.environ.get("EOE_TPU_DISTRIBUTED", "0") == "1" and jax.process_count() == 1:
+    """Initialize jax.distributed for multi-host pods when EOE_TPU_DISTRIBUTED=1.
+    Must run BEFORE anything touches a backend (jax.devices/process_count
+    would instantiate the single-process backend first); a no-op otherwise."""
+    global _distributed_initialized
+    if _distributed_initialized:
+        return
+    _distributed_initialized = True
+    if os.environ.get("EOE_TPU_DISTRIBUTED", "0") == "1":
         try:
             jax.distributed.initialize()
         except Exception:  # pragma: no cover - depends on cluster env

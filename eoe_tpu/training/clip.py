@@ -69,6 +69,11 @@ class ClipTrainer(Trainer):
             variables = to_flax(sd)
         self._clip_variables = variables
         clip_model = CLIP(config, dtype=compute_dtype)
+        # the RAW spec inputs are what setup.json must record: load_setup
+        # compares the runner's specs against the logged ones, and the
+        # resolution rewrite below is deterministic from the raw form
+        self._raw_train_specs = list(train_specs) if train_specs else None
+        self._raw_test_specs = list(test_specs) if test_specs else None
         # resolve placeholders: empty/None train specs -> canonical pipeline;
         # explicit specs keep their order with placeholders resolved natively
         train_specs = list(train_specs) if train_specs else list(CLIP_SPECS)
@@ -84,6 +89,14 @@ class ClipTrainer(Trainer):
                          objective="clip", compute_dtype=compute_dtype, **kwargs)
         self.anom_tkn_ptn = anom_tkn_ptn
         self.raw_texts: Sequence[str] = ()
+
+    def setup_dict(self) -> dict:
+        """setup.json records the RAW (pre-resolution) specs so load_setup's
+        equality assertions hold against what the runner passes."""
+        d = super().setup_dict()
+        d["train_specs"] = self._raw_train_specs or []
+        d["test_specs"] = self._raw_test_specs or []
+        return d
 
     # CLIP keeps its pretrained weights for every class-seed (no weight reset).
     # COPY the buffers: the jitted train step donates its state argument, so

@@ -226,17 +226,6 @@ class Trainer:
                 lambda params: frozen_param_labels(params, True))
         return tx
 
-    def apply_model(self, state: TrainState, x: jax.Array, train: bool):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        if train and state.batch_stats:
-            feats, mut = self.model.apply(variables, x, train=True, mutable=["batch_stats"])
-            return feats, mut["batch_stats"]
-        feats = self.model.apply(variables, x, train=train,
-                                 mutable=False if not state.batch_stats else False)
-        return feats, state.batch_stats
-
     # ------------------------------------------------------------- jitted steps
 
     def _constrain_batch(self, x):

@@ -172,7 +172,9 @@ def test_cub_metadata_parsing(tmp_path, rng):
 # ----------------------------------------------------------------- tinyimages
 
 
-def test_tinyimages_memmap_and_exclusion(tmp_path, rng):
+def test_tinyimages_memmap_and_exclusion(tmp_path, rng, monkeypatch):
+    # disable the fake-data substitute: this test exercises the real memmap path
+    monkeypatch.setenv("EOE_TPU_FAKE_DATA", "0")
     import eoe_tpu.datasets.tinyimages as ti
     root = tmp_path / "tinyimages"
     os.makedirs(root)

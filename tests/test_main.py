@@ -263,3 +263,73 @@ def test_evolve_vmapped_evaluator(tmp_path):
     fits = ev.evaluate_population([list(i) for i in inds])
     assert len(fits) == 3
     assert all(np.isfinite(f) and 0.0 <= f <= 1.0 for f in fits)
+
+
+def test_clip_setup_json_records_raw_specs(tmp_path):
+    """ClipTrainer resolves placeholder specs internally but setup.json must
+    record the RAW runner specs so --load's equality assertions hold."""
+    from eoe_tpu.ops.preprocess import specs_repr
+    from tests.test_clip import tiny_clip_for_trainer
+    from eoe_tpu.training import TRAINER
+    from eoe_tpu.utils.logger import Logger
+
+    cfg, variables = tiny_clip_for_trainer()
+    raw = [{"op": "random_hflip"}, "clip_pil_preprocessing", "clip_tensor_preprocessing"]
+    trainer = TRAINER["clip"](
+        model=None, train_specs=list(raw), test_specs=None, dataset="cifar10",
+        oe_dataset="cifar100", datapath=str(tmp_path / "d"),
+        logger=Logger(str(tmp_path), noname=True, archive_source=False),
+        epochs=0, lr=1e-4, wdk=0.0, milestones=[], batch_size=8,
+        clip_config=cfg, clip_variables=variables)
+    assert specs_repr(trainer.setup_dict()["train_specs"]) == specs_repr(raw)
+    assert trainer.setup_dict()["test_specs"] == []
+    # while the COMPILED specs carry the resolved resolution
+    assert any(isinstance(s, dict) and s.get("resolution") == cfg.image_resolution
+               for s in trainer.train_specs)
+
+
+def test_evaluate_uses_identity_not_value_equality(tmp_path):
+    """A valid clone with values EQUAL to an invalid one must not be
+    re-evaluated (Individual subclasses list -> `in` is value equality)."""
+    from eoe_tpu.evolve import Individual, Toolbox, evaluate
+    from eoe_tpu.evolve.tree import EvolNode, Individual as TI, Tree
+    from eoe_tpu.datasets.bases import ArraySource, Subset
+    from eoe_tpu.utils.logger import Logger
+
+    src = ArraySource(np.zeros((4, 4, 4, 3), np.uint8), np.zeros(4))
+    oeds = Subset(src, np.arange(4))
+    a, b = Individual([1]), Individual([1])  # equal values
+    a.fitness.values = (0.7,)  # a is VALID, b is not
+    calls = []
+    toolbox = Toolbox()
+    toolbox.register("evaluate", lambda ind: calls.append(list(ind)) or 0.5)
+    tree = Tree(EvolNode(TI([1])), EvolNode(TI([1])))
+    pop = [a, b]
+    logger = Logger(str(tmp_path), noname=True, archive_source=False)
+    evaluate(pop, pop, 0, toolbox, {"pop": [], "fit": [], "mean_fit": [],
+                                    "std_fit": [], "max_fit": [], "min_fit": []},
+             tree, oeds, logger)
+    assert len(calls) == 1  # only the invalid clone was evaluated
+    assert a.fitness.values == (0.7,)  # the valid one kept its fitness
+
+
+def test_tinyimages_fake_data_mode(tmp_path, rng):
+    from eoe_tpu.datasets import load_dataset
+    ds = load_dataset("cifar10", str(tmp_path), [0], 0, [], [], None,
+                      oe_name="tinyimages", rng=rng)
+    assert len(ds.oe.train_set) == 512  # synthetic OE pool
+
+
+def test_mvtec_enlarge_keeps_residency(tmp_path, rng):
+    from tests.test_folder_datasets import write_img
+    from eoe_tpu.datasets import load_dataset
+    root = tmp_path / "mvtec"
+    for i in range(4):
+        write_img(str(root / "bottle" / "train" / "good" / f"{i}.png"), rng=rng)
+    write_img(str(root / "bottle" / "test" / "good" / "0.png"), rng=rng)
+    write_img(str(root / "bottle" / "test" / "broken" / "0.png"), rng=rng)
+    ds = load_dataset("mvtec", str(tmp_path), [0], 0, [{"op": "resize", "size": 16}],
+                      [{"op": "resize", "size": 16}], None, rng=rng)
+    assert len(ds.train_set) == 40  # 10x enlarge via tiled INDICES
+    assert len(ds.train_set.source) == 4  # data NOT materialized 10x
+    assert ds.train_set.source.resident
