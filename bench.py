@@ -68,6 +68,13 @@ def build_trainer(model_kind: str, logger):
 
 def main():
     import jax
+    # persistent compilation cache: repeat bench runs (and the driver's) skip
+    # the ~4min ViT-B/32 compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/eoe_tpu_jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.random as jrandom
 
     from eoe_tpu.utils.logger import Logger

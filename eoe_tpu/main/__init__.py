@@ -177,8 +177,23 @@ def evolve_argsparse(modify_descr, modify_parser=None, modify_args=None, argv=No
 # ---------------------------------------------------------------- factories
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache (EOE_TPU_COMPILE_CACHE=0 disables):
+    repeat runs of the same configuration skip the multi-minute TPU compiles."""
+    if os.environ.get("EOE_TPU_COMPILE_CACHE", "1") == "0":
+        return
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          pt.expanduser("~/.cache/eoe_tpu_jax"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def _make_mesh(devices: Optional[int]):
     import jax
+    _enable_compile_cache()
     meshlib.init_distributed()  # no-op unless EOE_TPU_DISTRIBUTED=1
     n = len(jax.devices())
     if devices is not None:
