@@ -48,6 +48,10 @@ class AnomalyScorer:
         self.batch_size = batch_size
         self.compute_dtype = compute_dtype
         self.center = center
+        if self.objective.needs_center and center is None:
+            raise ValueError(
+                f"objective '{objective}' needs a center (DSVDD feature center / "
+                f"CLIP text-feature matrix); pass it via the `center` argument")
 
         setup = payload.get("setup") or {}
         specs = list(test_specs) if test_specs is not None else \

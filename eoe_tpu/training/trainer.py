@@ -444,6 +444,8 @@ class Trainer:
                                 f'Gradients got NaN for class {c} "{cstr}" and seed {it}. Giving up.')
                 states[c].append(state)
                 train_cls_rocs[c].append(roc)
+                self.logger.plot_many(train_cls_rocs.means(True), classes,
+                                      name="training_intermediate_roc")
 
                 if test and state is not None:
                     eroc, eprc = self.eval_cls(state, ds, c, cstr, it)
@@ -451,6 +453,8 @@ class Trainer:
                     eroc, eprc = None, None
                 eval_cls_rocs[c].append(eroc)
                 eval_cls_prcs[c].append(eprc)
+                self.logger.plot_many(eval_cls_rocs.means(True), classes,
+                                      name="eval_intermediate_roc")
 
                 if state is not None:
                     self.snapshot(f"snapshot_cls{c}_it{it}", state, self.epochs, ds.ds_statistics)
