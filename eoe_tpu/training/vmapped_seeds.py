@@ -9,6 +9,10 @@ training instead of ten for models that fit K-fold in HBM.
 
 Used by ``Trainer.run(..., vmap_seeds=True)`` for device-resident datasets
 without snapshot resume; falls back to the sequential path otherwise.
+
+Best for from-scratch models (measured 1.52x for 8 CNN32 seeds on one v5e).
+NOT useful for CLIP: the pretrained weights make all seed replicas identical
+(only the data order differs), and per-seed model init dominates short runs.
 """
 
 from typing import List, Optional, Tuple
