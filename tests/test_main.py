@@ -333,3 +333,13 @@ def test_mvtec_enlarge_keeps_residency(tmp_path, rng):
     assert len(ds.train_set) == 40  # 10x enlarge via tiled INDICES
     assert len(ds.train_set.source) == 4  # data NOT materialized 10x
     assert ds.train_set.source.resident
+
+
+def test_tree_render(tmp_path):
+    from eoe_tpu.evolve.tree import EvolNode, Individual, Tree
+    parents = [EvolNode(Individual([i], fitness=i / 4)) for i in range(4)]
+    tree = Tree(*parents)
+    child = EvolNode(Individual([9], fitness=0.9))
+    parents[0].add_children(child)
+    out = tree.render(str(tmp_path / "genealogy.png"))
+    assert out is not None and pt.exists(out)
