@@ -33,7 +33,7 @@ def build_trainer(model_kind: str, logger):
         model = CLIP(VIT_B32, dtype=jnp.bfloat16)
         # combined step batch = 2B = 256 images: the per-forward throughput
         # sweet spot measured on v5e (512 regresses ~11%; see memory notes)
-        HW, N, B, epochs = 224, 2048, 128, 4
+        HW, N, B, epochs = 224, 2048, 128, 6
         train_specs = [{"op": "random_hflip"},
                        {"op": "clip_pil_preprocessing"},
                        {"op": "clip_tensor_preprocessing"}]
@@ -42,7 +42,7 @@ def build_trainer(model_kind: str, logger):
     else:
         from eoe_tpu.models.cnn import CNN32
         model = CNN32()
-        HW, N, B, epochs = 32, 8192, 128, 6
+        HW, N, B, epochs = 32, 8192, 128, 8
         train_specs = [{"op": "random_hflip"}, "normalize"]
         test_specs = ["normalize"]
         compute_dtype = jnp.float32
