@@ -65,7 +65,11 @@ def main(argv=None):
         # scan per-magnitude results.json; assert magnitude bookkeeping
         # (parity: multiscale_cifar.py:69-105)
         subdirs = sorted(d for d in os.listdir(args.continue_run)
-                         if pt.isdir(pt.join(args.continue_run, d)))
+                         if pt.isdir(pt.join(args.continue_run, d))
+                         and "_magnitude_" in d)
+        if not subdirs:
+            raise ValueError(f"no per-magnitude run directories found in "
+                             f"{args.continue_run}")
         last_magn_dir = pt.join(args.continue_run, subdirs[-1])
         last_magn = int(pt.basename(last_magn_dir).split("_magnitude_")[-1]
                         .replace("---CNTD", ""))
@@ -85,7 +89,8 @@ def main(argv=None):
         previous = {}
         for d in sorted(os.listdir(args.continue_run)):
             full = pt.join(args.continue_run, d)
-            if not pt.isdir(full) or pt.exists(full + "---CNTD"):
+            if (not pt.isdir(full) or "_magnitude_" not in d
+                    or pt.exists(full + "---CNTD")):
                 continue
             if "results.json" not in os.listdir(full):
                 continue

@@ -343,3 +343,18 @@ def test_tree_render(tmp_path):
     parents[0].add_children(child)
     out = tree.render(str(tmp_path / "genealogy.png"))
     assert out is not None and pt.exists(out)
+
+
+def test_multiscale_continue_run(tmp_path):
+    """--continue-run: completed magnitudes are reused from their results.json
+    and only the new magnitudes train (multiscale_cifar.py continue logic)."""
+    import os
+    from eoe_tpu.main import multiscale_cifar
+    base = base_args(tmp_path, ["--ms-mode", "lpf+train_nominal"])
+    aucs1 = multiscale_cifar.main(base + ["--magnitudes", "0", "2"])
+    outer = [o for o in sorted(glob.glob(str(tmp_path / "log_*")))
+             if pt.isdir(o) and any("magnitude" in s for s in os.listdir(o))][0]
+    aucs2 = multiscale_cifar.main(base + ["--magnitudes", "0", "2", "4",
+                                          "--continue-run", outer])
+    assert [tuple(a) for a in aucs2[:2]] == [tuple(a) for a in aucs1]
+    assert len(aucs2) == 3
