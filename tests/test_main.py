@@ -358,3 +358,24 @@ def test_multiscale_continue_run(tmp_path):
                                           "--continue-run", outer])
     assert [tuple(a) for a in aucs2[:2]] == [tuple(a) for a in aucs1]
     assert len(aucs2) == 3
+
+
+def test_evolve_continue_run_resumes_interrupted(tmp_path):
+    """--ev-continue-run resumes from the last FINISHED generation of an
+    interrupted run and completes the configured total (load_evolve)."""
+    from eoe_tpu.main import evolve_oe_cifar
+    base = base_args(tmp_path, ["--ev-generation-pool", "3", "--ev-mutation-pool", "4",
+                                "--ev-mutation-oneofkbest", "2"])
+    h1, _ = evolve_oe_cifar.main(base + ["--ev-generations", "3"])
+    evdir = glob.glob(str(tmp_path / "log_*_evolve_*"))[0]
+    # simulate the interruption: drop the last finished generation
+    with open(pt.join(evdir, "results.json")) as f:
+        h = json.load(f)
+    for k in ("pop", "fit", "mean_fit", "std_fit", "max_fit", "min_fit"):
+        h[k] = h[k][:2]
+    with open(pt.join(evdir, "results.json"), "w") as f:
+        json.dump(h, f)
+    h2, _ = evolve_oe_cifar.main(base + ["--ev-generations", "3",
+                                         "--ev-continue-run", evdir])
+    assert len(h2["pop"]) == 3
+    assert h2["pop"][:2] == h1["pop"][:2]  # loaded generations kept verbatim
