@@ -379,3 +379,20 @@ def test_evolve_continue_run_resumes_interrupted(tmp_path):
                                          "--ev-continue-run", evdir])
     assert len(h2["pop"]) == 3
     assert h2["pop"][:2] == h1["pop"][:2]  # loaded generations kept verbatim
+
+
+def test_load_resume_partial_grid(tmp_path):
+    """--load with a missing snapshot: completed combos re-evaluate to
+    identical metrics, missing ones retrain (ad_trainer.py load semantics)."""
+    import os
+    from eoe_tpu.main import train_cifar
+    base = ["-e", "1", "--iterations", "1", "--oe-dataset", "cifar100",
+            "--datapath", str(tmp_path), "--superdir", str(tmp_path)]
+    train_cifar.main(base + ["--classes", "0", "1"])
+    logdir = sorted(glob.glob(str(tmp_path / "log_*")))[0]
+    os.remove(pt.join(logdir, "snapshots", "snapshot_cls1_it0.msgpack"))
+    _, res = train_cifar.main(base + ["--classes", "0", "1", "--load", logdir])
+    with open(pt.join(logdir, "results.json")) as f:
+        r1 = json.load(f)
+    assert res["cls_aucs"][0][0] == pytest.approx(r1["eval_cls_rocs"][0][0], abs=1e-9)
+    assert res["cls_aucs"][1][0] is not None
