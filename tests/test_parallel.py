@@ -68,6 +68,69 @@ def test_param_shardings_tp_rules(mesh8):
     assert shardings["block"]["other"]["kernel"].spec == P()
 
 
+def _tiny_clip_trainer(tmp_path, mesh):
+    """Tiny CLIP + combined normal/OE arrays, mirroring the driver dryrun
+    config but smaller; widths divisible by a model axis of 2."""
+    from eoe_tpu.datasets.bases import ArraySource, CombinedDataset, GenericADDataset
+    from eoe_tpu.models.clip import CLIP, ClipConfig
+    from eoe_tpu.training import Trainer
+    from eoe_tpu.utils.logger import Logger
+
+    rng = np.random.default_rng(7)
+    HW, B, n = 16, 8, 32
+    cfg = ClipConfig(embed_dim=32, image_resolution=HW, vision_layers=1,
+                     vision_width=64, vision_patch_size=8, context_length=16,
+                     vocab_size=64, transformer_width=32, transformer_heads=2,
+                     transformer_layers=1, vision_heads_override=2)
+    specs = [{"op": "random_hflip"}, {"op": "clip_pil_preprocessing", "resolution": HW},
+             {"op": "clip_tensor_preprocessing"}]
+    kw = dict(root="", train_specs=specs, test_specs=specs[1:], n_classes=2,
+              raw_shape=(HW, HW, 3))
+    xtr = rng.integers(0, 256, (n, HW, HW, 3), np.uint8)
+    xte = rng.integers(0, 256, (2 * B, HW, HW, 3), np.uint8)
+    xoe = rng.integers(0, 256, (n, HW, HW, 3), np.uint8)
+    yte = np.array([0, 1] * B, np.int64)
+    normal = GenericADDataset(ArraySource(xtr, np.zeros(n, np.int64)),
+                              ArraySource(xte, yte), normal_classes=(0,),
+                              nominal_label=0, **kw)
+    oe = GenericADDataset(ArraySource(xoe, np.ones(n, np.int64)), None,
+                          normal_classes=(1,), nominal_label=1, **kw)
+    ds = CombinedDataset(normal, oe)
+    trainer = Trainer(model=CLIP(cfg), objective="hsc", train_specs=specs,
+                      test_specs=specs[1:], dataset="cifar10", oe_dataset="cifar100",
+                      datapath="/tmp", logger=Logger(str(tmp_path), active=False),
+                      epochs=2, lr=1e-3, wdk=0.0, milestones=[], batch_size=B, mesh=mesh)
+    trainer.ds = ds
+    return trainer, ds
+
+
+def test_tp_train_matches_single_device(tmp_path):
+    """A data=4 x model=2 (DP+TP) CLIP training run must reproduce the
+    single-device run bit-for-bit up to reduction order: same final params,
+    same train/eval AUC. This certifies that the Megatron qkv/mlp shardings
+    are numerics-preserving, not just that the specs look right."""
+    import contextlib
+
+    results = {}
+    for name, mesh in (("single", None),
+                       ("tp", meshlib.make_mesh(meshlib.MeshConfig(data=4, model=2)))):
+        trainer, ds = _tiny_clip_trainer(tmp_path / name, mesh)
+        with (mesh if mesh is not None else contextlib.nullcontext()):
+            state, roc = trainer.train_cls(ds, 0, "t", 0, jax.random.key(0))
+            eroc, _ = trainer.eval_cls(state, ds, 0, "t", 0)
+        results[name] = (jax.tree_util.tree_map(np.asarray, state.params),
+                        roc.auc, eroc.auc)
+    p_ref, tauc_ref, eauc_ref = results["single"]
+    p_tp, tauc_tp, eauc_tp = results["tp"]
+    leaves_ref = jax.tree_util.tree_leaves(p_ref)
+    leaves_tp = jax.tree_util.tree_leaves(p_tp)
+    assert len(leaves_ref) == len(leaves_tp)
+    for a, b in zip(leaves_ref, leaves_tp):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-5)
+    assert abs(tauc_ref - tauc_tp) < 0.01
+    assert abs(eauc_ref - eauc_tp) < 0.01
+
+
 def test_batchnorm_global_stats_under_sharding(mesh8):
     """flax BatchNorm reduces over the GLOBAL batch even when the batch is
     sharded over the mesh: XLA lowers the mean/var reduction to a cross-chip
