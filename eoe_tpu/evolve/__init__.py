@@ -22,7 +22,6 @@ IDENTICAL operator semantics replaces it (SURVEY.md §7.1 sanctions this):
 
 import copy
 import os.path as pt
-import random
 from typing import List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -31,6 +30,20 @@ import numpy as np
 from eoe_tpu.evolve.tree import EvolNode, Individual as TreeIndividual, Tree
 
 SELF_DIST = 100.0  # distance threshold excluding the sample itself (evolve/__init__.py:144)
+
+# All stochastic GA decisions draw from this explicit generator rather than
+# global random/np.random state (the reference leaves evolution unseeded —
+# SURVEY.md §7.3 flags it; here two same-seed runs reproduce byte-identically).
+# ``evolve_setup``/``rand_pick_setup`` reseed it from --ev-seed.
+_rng: np.random.Generator = np.random.default_rng()
+
+
+def seed_evolution(seed) -> np.random.Generator:
+    """Reset the evolution PRNG. ``seed`` is an int or a sequence of ints
+    (np.random.SeedSequence entropy); ``None`` draws OS entropy."""
+    global _rng
+    _rng = np.random.default_rng(seed)
+    return _rng
 
 
 class Fitness:
@@ -110,7 +123,7 @@ def _nearest_excl_self(dists: np.ndarray, oneofkbest: int) -> int:
     order = np.argsort(dists)
     vals = dists[order]
     start = next((a for a in range(len(vals)) if vals[a] > SELF_DIST), 0)
-    c = np.random.randint(start, start + oneofkbest)
+    c = int(_rng.integers(start, start + oneofkbest))
     return int(order[min(c, len(order) - 1)])
 
 
@@ -122,7 +135,7 @@ def init_individual(oeds) -> int:
     indices for later pinning (evolve/__init__.py:42-52)."""
     if not hasattr(oeds, "valid_indices"):
         oeds.valid_indices = np.asarray(oeds.indices).copy()
-    return int(np.random.randint(0, len(oeds.valid_indices)))
+    return int(_rng.integers(0, len(oeds.valid_indices)))
 
 
 def evaluate_individual(individual, trainer, args, toolbox) -> float:
@@ -146,12 +159,12 @@ def mutate_individual(ind, oeds, poolsize: int, indp: float, oneofkbest: int):
     if poolsize <= 0:
         return (ind,)
     samples = _gather_f32(oeds, ind)
-    new_ids = [int(np.random.randint(0, len(oeds))) for _ in range(poolsize)]
+    new_ids = [int(_rng.integers(0, len(oeds))) for _ in range(poolsize)]
     new_samples = _gather_f32(oeds, new_ids)
     # all pairwise distances in one device op
     d = np.asarray(((samples[:, None, :] - new_samples[None, :, :]) ** 2).sum(-1))
     for n in range(len(ind)):
-        if np.random.rand() < indp:
+        if _rng.random() < indp:
             ind[n] = new_ids[_nearest_excl_self(d[n], oneofkbest)]
     return (ind,)
 
@@ -187,15 +200,15 @@ def mate_individuals(ind1, ind2, oeds, poolsize: int, indp: float, oneofkbest: i
         for n, b in zip(range(s1.shape[0]), match):
             pair = jnp.stack([s1[n], s2[b]])
             for ind in (ind1, ind2):
-                if np.random.rand() < indp:
-                    new_ids = [int(np.random.randint(0, len(oeds))) for _ in range(poolsize)]
+                if _rng.random() < indp:
+                    new_ids = [int(_rng.integers(0, len(oeds))) for _ in range(poolsize)]
                     cand = _gather_f32(oeds, new_ids)
                     # sum of distances to BOTH parents
                     d = np.asarray(((pair[:, None, :] - cand[None, :, :]) ** 2).sum(-1).sum(0))
                     ind[n] = new_ids[_nearest_excl_self(d, oneofkbest)]
     else:
         for i in range(len(ind1)):
-            if np.random.rand() < indp:
+            if _rng.random() < indp:
                 ind1[i], ind2[i] = ind2[i], ind1[i]
     return ind1, ind2
 
@@ -204,7 +217,7 @@ def replace_individuals_randomly(individuals, k=None, oeds=None):
     """Random-search baseline 'selection' (evolve/__init__.py:160-164)."""
     for n in range(len(individuals)):
         individuals[n] = Individual(
-            [int(np.random.randint(0, len(oeds.valid_indices)))
+            [int(_rng.integers(0, len(oeds.valid_indices)))
              for _ in range(len(individuals[n]))],
             individuals[n].fitness.weight)
     return individuals
@@ -216,7 +229,7 @@ def select_individual(individuals, k, tournsize, replace=False):
     chosen = []
     for _ in range(k):
         aspirants = [individuals[i] for i in
-                     np.random.choice(len(individuals), tournsize, replace)]
+                     _rng.choice(len(individuals), tournsize, replace)]
         chosen.append(max(aspirants, key=lambda ind: ind.fitness.weighted))
     return chosen
 
@@ -283,9 +296,14 @@ def evaluate(offspring, pop, gen: int, toolbox, history: dict, tree: Tree, oeds,
 
 
 def evolve(pop, gen: int, toolbox, mate_chance: float, mutation_chance: float,
-           history: dict, tree: Tree, oeds, logger, log_mutations: bool = True):
+           history: dict, tree: Tree, oeds, logger, log_mutations: bool = True,
+           seed: Optional[int] = None):
     """One generation: select -> mate -> mutate -> evaluate
-    (evolve/__init__.py:252-357)."""
+    (evolve/__init__.py:252-357). With ``seed``, the generation's PRNG stream
+    is derived from (seed, gen) — so a --ev-continue-run resume draws exactly
+    what the uninterrupted run would have drawn."""
+    if seed is not None:
+        seed_evolution((seed, gen))
     logger.print("-------------------------------------------------------")
     logger.print(f"-------------------GENERATION {gen:03}----------------------")
     logger.print("-------------------------------------------------------")
@@ -300,7 +318,7 @@ def evolve(pop, gen: int, toolbox, mate_chance: float, mutation_chance: float,
     before = list(map(toolbox.clone, offspring))
     picked = []
     for i, (c1, c2) in enumerate(zip(offspring[::2], offspring[1::2])):
-        if random.random() < mate_chance:
+        if _rng.random() < mate_chance:
             n1, n2 = tree.get(c1), tree.get(c2)
             toolbox.mate(c1, c2)
             del c1.fitness.values
@@ -319,7 +337,7 @@ def evolve(pop, gen: int, toolbox, mate_chance: float, mutation_chance: float,
     before = list(map(toolbox.clone, offspring))
     picked = []
     for i, mutant in enumerate(offspring):
-        if random.random() < mutation_chance:
+        if _rng.random() < mutation_chance:
             node = tree.get(mutant)
             toolbox.mutate(mutant)
             del mutant.fitness.values

@@ -35,7 +35,8 @@ from eoe_tpu.datasets import (DS_CHOICES, DS_PARTS, MSM, MSM_TRANSFORMS,
 from eoe_tpu.datasets.bases import INF
 from eoe_tpu.evolve import (Individual, Toolbox, evaluate_individual, init_individual,
                             mate_individuals, mutate_individual,
-                            replace_individuals_randomly, select_individual)
+                            replace_individuals_randomly, seed_evolution,
+                            select_individual)
 from eoe_tpu.evolve.tree import EvolNode, Individual as TreeIndividual, Tree
 from eoe_tpu.ops.preprocess import specs_repr
 from eoe_tpu.parallel import mesh as meshlib
@@ -153,6 +154,12 @@ def evolve_argsparse(modify_descr, modify_parser=None, modify_args=None, argv=No
         parser.add_argument("--ev-generations", type=int, default=30)
         parser.add_argument("--ev-select-toursize", type=int, default=3)
         parser.add_argument("--ev-minimize-fitness", action="store_true")
+        parser.add_argument("--ev-seed", type=int, default=0,
+                            help="Seed for all stochastic GA decisions (init, "
+                                 "mutation, mating, selection). Same-seed runs "
+                                 "reproduce byte-identically; each generation's "
+                                 "stream derives from (seed, gen), so resumes "
+                                 "replay the uninterrupted run.")
         parser.add_argument("--ev-vmap", action="store_true",
                             help="Vectorize fitness evaluation: train all candidates "
                                  "of a generation as one vmapped program (TPU-native "
@@ -292,17 +299,22 @@ def evolve_setup(oesize: int, generation_pool: int, mutation_pool: int,
                  mutation_indp: float, mutation_oneofkbest: int, mutation_chance: float,
                  mate_chance: float, generations: int, select_toursize: int,
                  trainer: Trainer, oeds, args: Namespace, maxfit: bool = True,
-                 vmap_candidates: bool = False):
+                 vmap_candidates: bool = False, seed: Optional[int] = None):
     """Prepare the GA toolbox + initial population (parity: main/__init__.py:366-430).
     The history's setup keys (incl. the reference's 'geneation_pool' typo) are
     kept for resume-file compatibility. ``vmap_candidates`` registers the
     vectorized fitness evaluator (eoe_tpu.evolve.vmapped): K candidates train
-    as ONE vmapped program instead of K sequential runs."""
+    as ONE vmapped program instead of K sequential runs. ``seed`` makes every
+    stochastic GA decision reproducible (logged in the run's results.json
+    setup; the reference leaves evolution unseeded)."""
+    if seed is not None:
+        seed_evolution(seed)
     history = _make_history(
         oesize=oesize, geneation_pool=generation_pool, mutation_pool=mutation_pool,
         mutation_indp=mutation_indp, mutation_oneofkbest=mutation_oneofkbest,
         mutation_chance=mutation_chance, mate_chance=mate_chance,
-        generations=generations, oeds=trainer.oe_dsstr, select_toursize=select_toursize)
+        generations=generations, oeds=trainer.oe_dsstr, select_toursize=select_toursize,
+        ev_seed=seed)
     weight = 1.0 if maxfit else -1.0
     toolbox = Toolbox()
     toolbox.register("evaluate", evaluate_individual, trainer=trainer, args=args,
@@ -323,9 +335,11 @@ def evolve_setup(oesize: int, generation_pool: int, mutation_pool: int,
 
 
 def rand_pick_setup(oesize: int, generation_pool: int, trainer: Trainer, oeds,
-                    args: Namespace, maxfit: bool = True):
+                    args: Namespace, maxfit: bool = True, seed: Optional[int] = None):
     """Random-search baseline setup (parity: main/__init__.py:433-482)."""
-    history = _make_history(oesize=oesize)
+    if seed is not None:
+        seed_evolution(seed)
+    history = _make_history(oesize=oesize, ev_seed=seed)
     weight = 1.0 if maxfit else -1.0
     toolbox = Toolbox()
     toolbox.register("evaluate", evaluate_individual, trainer=trainer, args=args,
@@ -499,7 +513,9 @@ def load_evolve(path: Optional[str], tree: Tree, history: dict, pop: list, gen: 
     for k in setup:
         assert k in history["setup"], f"{k} is in loaded setup but not in setup!"
     for k in history["setup"]:
-        assert k in setup, f"{k} is in setup but not in loaded setup!"
+        # ev_seed is optional: runs recorded before it existed can still resume
+        assert k in setup or k == "ev_seed", f"{k} is in setup but not in loaded setup!"
+    args.ev_seed = setup.pop("ev_seed", getattr(args, "ev_seed", None))
     args.ev_oesize = setup.pop("oesize")
     args.ev_generation_pool = setup.pop("geneation_pool")
     args.ev_mutation_pool = setup.pop("mutation_pool")
@@ -539,5 +555,6 @@ def load_evolve(path: Optional[str], tree: Tree, history: dict, pop: list, gen: 
         args.ev_oesize, args.ev_generation_pool, args.ev_mutation_pool,
         args.ev_mutation_indp, args.ev_mutation_oneofkbest, args.ev_mutation_chance,
         args.ev_mate_chance, args.ev_generations, args.ev_select_toursize, trainer,
-        dataset, args, not args.ev_minimize_fitness)
+        dataset, args, not args.ev_minimize_fitness,
+        vmap_candidates=getattr(args, "ev_vmap", False), seed=args.ev_seed)
     return history, pop, gen, logger, toolbox

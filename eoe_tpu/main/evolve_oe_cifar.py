@@ -77,7 +77,8 @@ def main(argv=None):
         args.ev_oesize, args.ev_generation_pool, args.ev_mutation_pool,
         args.ev_mutation_indp, args.ev_mutation_oneofkbest, args.ev_mutation_chance,
         args.ev_mate_chance, args.ev_generations, args.ev_select_toursize, trainer, ds,
-        args, not args.ev_minimize_fitness, vmap_candidates=args.ev_vmap)
+        args, not args.ev_minimize_fitness, vmap_candidates=args.ev_vmap,
+        seed=args.ev_seed)
     if args.ev_continue_run is not None:
         history, pop, start_gen, logger, toolbox = load_evolve(
             args.ev_continue_run, tree, history, pop, start_gen, logger, trainer, ds,
@@ -88,7 +89,7 @@ def main(argv=None):
             start_gen += 1
         for gen in range(start_gen, args.ev_generations):
             evolve(pop, gen, toolbox, args.ev_mate_chance, args.ev_mutation_chance,
-                   history, tree, ds, logger)
+                   history, tree, ds, logger, seed=args.ev_seed)
     finally:
         logger.logjson("results", history)
         tree.save(pt.join(logger.dir, "evolution"))

@@ -39,6 +39,8 @@ def main(argv=None):
                             help="The size of the OE subsets.")
         parser.add_argument("--ev-samples", type=int, default=2000,
                             help="The number of OE subsets that are randomly chosen.")
+        parser.add_argument("--ev-seed", type=int, default=0,
+                            help="Seed for the random subset draws (reproducible).")
         parser.set_defaults(**DEFAULTS)
 
     args = ms_argsparse(
@@ -60,7 +62,7 @@ def main(argv=None):
         superdir=args.superdir, dataset_path=args.datapath)
     pop, start_gen, toolbox, history, tree = rand_pick_setup(
         args.ev_oesize, args.ev_samples, trainer, ds, args,
-        not getattr(args, "ev_minimize_fitness", False))
+        not getattr(args, "ev_minimize_fitness", False), seed=args.ev_seed)
     try:
         evaluate(pop, pop, start_gen, toolbox, history, tree, ds, logger)
     finally:

@@ -379,6 +379,33 @@ def test_evolve_continue_run_resumes_interrupted(tmp_path):
                                          "--ev-continue-run", evdir])
     assert len(h2["pop"]) == 3
     assert h2["pop"][:2] == h1["pop"][:2]  # loaded generations kept verbatim
+    # per-generation PRNG streams derive from (ev_seed, gen): the resumed run
+    # draws exactly what the uninterrupted run drew for the dropped generation
+    assert h2["pop"][2] == h1["pop"][2]
+
+
+def test_evolve_seed_reproducible(tmp_path):
+    """Same --ev-seed: two fresh evolve runs reproduce the generation-0 and
+    generation-1 populations byte-identically; the seed lands in the recorded
+    setup. (The reference leaves evolution unseeded — SURVEY.md §7.3.)"""
+    from eoe_tpu.main import evolve_oe_cifar
+
+    def run(sub, seed):
+        d = tmp_path / sub
+        d.mkdir()
+        h, _ = evolve_oe_cifar.main(base_args(d, [
+            "--ev-generations", "2", "--ev-generation-pool", "3",
+            "--ev-mutation-pool", "6", "--ev-mutation-oneofkbest", "2",
+            "--ev-seed", str(seed)]))
+        return h
+
+    h1 = run("a", 5)
+    h2 = run("b", 5)
+    assert h1["pop"] == h2["pop"]
+    assert h1["fit"] == h2["fit"]
+    assert h1["setup"]["ev_seed"] == 5
+    h3 = run("c", 77)
+    assert h3["pop"] != h1["pop"]  # different seed -> different draws
 
 
 def test_load_resume_partial_grid(tmp_path):
