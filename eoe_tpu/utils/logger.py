@@ -9,7 +9,7 @@ A run directory ``log_{YYYYMMDDHHMMSS}_{comment}`` contains:
   *.pdf                                   — ROC/PRC curves with mean curves
   *.png                                   — preview grids
   snapshots/snapshot_cls{i}_it{j}.msgpack — model+opt+epoch+ds_statistics
-  tensorboard events (optional)           — scalars/histograms
+  tb/ tensorboard events (default-on)     — scalars/histograms
 Continued runs log into ``{old_dir}---CNTD`` (main/__init__.py:299,338).
 """
 
@@ -133,7 +133,7 @@ class Tracker:
 
 class Logger:
     def __init__(self, logdir: str, comment: str = "", noname: bool = False, active: bool = True,
-                 tensorboard: bool = False, archive_source: bool = True):
+                 tensorboard: bool = True, archive_source: bool = True):
         """
         @param logdir: parent directory for run directories. A '---CNTD' suffix
             on an existing directory continues that run (parity:
@@ -142,6 +142,9 @@ class Logger:
         @param noname: use `logdir` directly as the run directory.
         @param active: inactive loggers swallow all output (evolution runs
             deactivate logging after the first individual, evolve/__init__.py:68-69).
+        @param tensorboard: default-on like the reference's always-created
+            SummaryWriter (logger.py:154-173); degrades silently to the JSON
+            scalar record if the tensorboard package is unavailable.
         """
         self.active = active
         self.start = datetime.now()

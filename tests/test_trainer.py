@@ -218,3 +218,17 @@ def test_anomaly_scorer_from_snapshot(tmp_path, rng):
                                rtol=1e-4)
     # odd batch sizes pad correctly
     np.testing.assert_allclose(scorer.score(imgs[:5]), scores[:5], rtol=1e-5)
+
+
+def test_logger_tensorboard_default_on(tmp_path):
+    """Tensorboard events are written by default (parity: the reference Logger
+    always instantiates a SummaryWriter, logger.py:154-173)."""
+    logger = Logger(str(tmp_path / "run"), noname=True, archive_source=False)
+    logger.add_scalar("x", 1.0, 0)
+    assert logger.tb_writer is not None
+    tb = tmp_path / "run" / "tb"
+    assert tb.is_dir() and any(tb.iterdir())
+    # and it remains opt-out-able
+    off = Logger(str(tmp_path / "run2"), noname=True, archive_source=False,
+                 tensorboard=False)
+    assert off.tb_writer is None
