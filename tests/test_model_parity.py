@@ -53,52 +53,7 @@ def ref_models():
     return cnn, cbam, resnet
 
 
-# ------------------------------------------------------------ weight copy
-
-
-def t2j(t):
-    return np.asarray(t.detach().cpu().numpy())
-
-
-def conv_k(w):  # torch OIHW -> flax HWIO
-    return t2j(w).transpose(2, 3, 1, 0)
-
-
-def lin_k(w):  # torch (out, in) -> flax (in, out)
-    return t2j(w).T
-
-
-def flat_lin_k(w, c, h, ww):
-    """First fc after an NCHW flatten: torch input index is c*h*w-major,
-    flax (NHWC flatten) is h*w*c-major — permute accordingly."""
-    out = w.shape[0]
-    return t2j(w).reshape(out, c, h, ww).transpose(2, 3, 1, 0).reshape(h * ww * c, out)
-
-
-def bn_p(bn):
-    return {"scale": t2j(bn.weight), "bias": t2j(bn.bias)}
-
-
-def bn_s(bn):
-    return {"mean": t2j(bn.running_mean), "var": t2j(bn.running_var)}
-
-
-def cbam_variables(tc):
-    """torch CBAM module -> (params, batch_stats) subtrees for eoe_tpu CBAM."""
-    params = {
-        "channel_gate": {
-            "mlp_hidden": {"kernel": lin_k(tc.ChannelGate.mlp[1].weight),
-                           "bias": t2j(tc.ChannelGate.mlp[1].bias)},
-            "mlp_out": {"kernel": lin_k(tc.ChannelGate.mlp[3].weight),
-                        "bias": t2j(tc.ChannelGate.mlp[3].bias)},
-        },
-        "spatial_gate": {
-            "spatial_conv": {"kernel": conv_k(tc.SpatialGate.spatial.conv.weight)},
-            "spatial_bn": bn_p(tc.SpatialGate.spatial.bn),
-        },
-    }
-    stats = {"spatial_gate": {"spatial_bn": bn_s(tc.SpatialGate.spatial.bn)}}
-    return params, stats
+# -------------------------------------------------------------- harness
 
 
 def _assert_tree_shapes_match(built, target):
@@ -146,57 +101,32 @@ def _compare(model, variables, tm, x_nchw, rtol, atol):
 
 @pytest.mark.parametrize("bias", [False, True])
 def test_cnn32_matches_reference(ref_models, bias):
+    """Also exercises the product converter (eoe_tpu.models.torch_import)."""
     from eoe_tpu.models.cnn import CNN32
+    from eoe_tpu.models.torch_import import cnn_variables_from_torch
     ref_cnn, _, _ = ref_models
     torch.manual_seed(0)
     tm = ref_cnn.CNN32(rep_dim=64, bias=bias, clf=True)
 
-    params = {}
-    for i in (1, 2, 3):
-        conv = getattr(tm, f"conv{i}")
-        params[f"conv{i}"] = {"kernel": conv_k(conv.weight)}
-        if bias:
-            params[f"conv{i}"]["bias"] = t2j(conv.bias)
-    stats = {f"bn2d{i}": bn_s(getattr(tm, f"bn2d{i}")) for i in (1, 2, 3)}
-    stats["bn1d1"] = bn_s(tm.bn1d1)
-    if bias:
-        for i in (1, 2, 3):
-            params[f"bn2d{i}"] = bn_p(getattr(tm, f"bn2d{i}"))
-        params["bn1d1"] = bn_p(tm.bn1d1)
-    params["fc1"] = {"kernel": flat_lin_k(tm.fc1.weight, 128, 4, 4)}
-    params["fc2"] = {"kernel": lin_k(tm.fc2.weight)}
-    if bias:
-        params["fc1"]["bias"] = t2j(tm.fc1.bias)
-        params["fc2"]["bias"] = t2j(tm.fc2.bias)
-    params["linear"] = {"kernel": lin_k(tm.linear.weight), "bias": t2j(tm.linear.bias)}
-
+    variables = cnn_variables_from_torch(tm.state_dict())
     model = CNN32(rep_dim=64, bias=bias, clf=True)
     x = np.random.default_rng(0).normal(size=(4, 3, 32, 32)).astype(np.float32)
     ref_vars = model.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)), train=False)
-    variables = {"params": params, "batch_stats": stats}
     _assert_tree_shapes_match(variables["params"], ref_vars["params"])
     _compare(model, variables, tm, x, rtol=1e-4, atol=1e-4)
 
 
 def test_cnn28_matches_reference(ref_models):
     from eoe_tpu.models.cnn import CNN28
+    from eoe_tpu.models.torch_import import cnn_variables_from_torch
     ref_cnn, _, _ = ref_models
     torch.manual_seed(1)
     tm = ref_cnn.CNN28(rep_dim=32, bias=True, clf=False)
 
-    params = {
-        "conv1": {"kernel": conv_k(tm.conv1.weight), "bias": t2j(tm.conv1.bias)},
-        "conv2": {"kernel": conv_k(tm.conv2.weight), "bias": t2j(tm.conv2.bias)},
-        "bn2d1": bn_p(tm.bn2d1), "bn2d2": bn_p(tm.bn2d2), "bn1d1": bn_p(tm.bn1d1),
-        "fc1": {"kernel": flat_lin_k(tm.fc1.weight, 32, 7, 7), "bias": t2j(tm.fc1.bias)},
-        "fc2": {"kernel": lin_k(tm.fc2.weight), "bias": t2j(tm.fc2.bias)},
-    }
-    stats = {"bn2d1": bn_s(tm.bn2d1), "bn2d2": bn_s(tm.bn2d2), "bn1d1": bn_s(tm.bn1d1)}
-
+    variables = cnn_variables_from_torch(tm.state_dict())
     model = CNN28(rep_dim=32, bias=True, clf=False)
     x = np.random.default_rng(1).normal(size=(4, 1, 28, 28)).astype(np.float32)
     ref_vars = model.init(jax.random.key(0), jnp.zeros((1, 28, 28, 1)), train=False)
-    variables = {"params": params, "batch_stats": stats}
     _assert_tree_shapes_match(variables["params"], ref_vars["params"])
     _compare(model, variables, tm, x, rtol=1e-4, atol=1e-4)
 
@@ -206,6 +136,7 @@ def test_cnn28_matches_reference(ref_models):
 
 def test_cbam_matches_reference(ref_models):
     from eoe_tpu.models.cbam import CBAM
+    from eoe_tpu.models.torch_import import cbam_variables_from_torch
     _, ref_cbam, _ = ref_models
     torch.manual_seed(2)
     tm = ref_cbam.CBAM(32, 16)
@@ -217,7 +148,7 @@ def test_cbam_matches_reference(ref_models):
         bn.running_mean.uniform_(-0.1, 0.1)
         bn.running_var.uniform_(0.8, 1.2)
 
-    params, stats = cbam_variables(tm)
+    params, stats = cbam_variables_from_torch(tm.state_dict())
     model = CBAM(32, 16)
     x = np.random.default_rng(2).normal(size=(4, 32, 8, 8)).astype(np.float32)
     _compare(model, {"params": params, "batch_stats": stats}, tm, x,
@@ -229,35 +160,56 @@ def test_cbam_matches_reference(ref_models):
 
 def test_wideresnet_cbam_matches_reference(ref_models):
     from eoe_tpu.models.resnet import WideResNet
+    from eoe_tpu.models.torch_import import wideresnet_variables_from_torch
     _, _, ref_resnet = ref_models
     torch.manual_seed(3)
     tm = ref_resnet.WideResNet(rep_dim=32, clf=False)
 
-    params = {"conv1": {"kernel": conv_k(tm.conv1.weight)}, "bn1": bn_p(tm.bn1),
-              "fc": {"kernel": lin_k(tm.fc.weight), "bias": t2j(tm.fc.bias)}}
-    stats = {"bn1": bn_s(tm.bn1)}
-    for s in (1, 2, 3, 4):
-        layer = getattr(tm, f"layer{s}")
-        for b, blk in enumerate(layer):
-            name = f"layer{s}_block{b}"
-            p = {"conv1": {"kernel": conv_k(blk.conv1.weight)},
-                 "conv2": {"kernel": conv_k(blk.conv2.weight)},
-                 "bn1": bn_p(blk.bn1), "bn2": bn_p(blk.bn2)}
-            st = {"bn1": bn_s(blk.bn1), "bn2": bn_s(blk.bn2)}
-            if blk.downsample is not None:
-                p["down_conv"] = {"kernel": conv_k(blk.downsample[0].weight)}
-                p["down_bn"] = bn_p(blk.downsample[1])
-                st["down_bn"] = bn_s(blk.downsample[1])
-            if blk.cbam is not None:
-                p["cbam"], st_cbam = cbam_variables(blk.cbam)
-                st["cbam"] = st_cbam
-            params[name] = p
-            stats[name] = st
-
+    variables = wideresnet_variables_from_torch(tm.state_dict())
     model = WideResNet(rep_dim=32, clf=False)
     x = np.random.default_rng(3).normal(size=(2, 3, 224, 224)).astype(np.float32)
     ref_vars = model.init(jax.random.key(0), jnp.zeros((1, 224, 224, 3)), train=False)
-    variables = {"params": params, "batch_stats": stats}
     _assert_tree_shapes_match(variables["params"], ref_vars["params"])
     # 18 BN/conv layers deep: accumulated f32 reduction-order error is larger
     _compare(model, variables, tm, x, rtol=1e-3, atol=1e-3)
+
+
+# ------------------------------------------------- torch snapshot import
+
+
+def test_import_reference_snapshot_roundtrip(ref_models, tmp_path):
+    """A reference EOE-style snapshot {net, opt, sched, epoch, ds_statistics}
+    (logger.py:318-338) converts to an eoe_tpu msgpack snapshot that the
+    Trainer loads: params land, epoch + ds_statistics survive, and --load
+    style eval works (ad_trainer.py:552-615 role)."""
+    from eoe_tpu.main.import_snapshot import main as import_main
+    from eoe_tpu.models.cnn import CNN32
+    from tests.test_trainer import make_trainer
+
+    ref_cnn, _, _ = ref_models
+    torch.manual_seed(4)
+    tm = ref_cnn.CNN32(rep_dim=64, bias=True, clf=False)
+    pt_path = tmp_path / "snapshot_cls0_it0.pt"
+    torch.save({"net": tm.state_dict(), "opt": None, "sched": None, "epoch": 7,
+                "ds_statistics": {"mean": torch.tensor([0.5, 0.5, 0.5]),
+                                  "std": torch.tensor([0.2, 0.2, 0.2])}}, pt_path)
+
+    out = import_main([str(pt_path), str(tmp_path / "snap.msgpack")])
+
+    trainer = make_trainer(tmp_path / "run", epochs=7,
+                           model=CNN32(rep_dim=64, bias=True, clf=False))
+    assert trainer.load_epochs_only(out) == 7
+    stats = trainer.load_ds_statistics(out)
+    assert stats["mean"] == pytest.approx([0.5, 0.5, 0.5])
+    assert stats["std"] == pytest.approx([0.2, 0.2, 0.2])
+    # epochs == snapshot epoch -> eval-only resume through Trainer.load,
+    # exercising the full grid machinery on the imported snapshot
+    _, res = trainer.run(run_classes=[0], run_seeds=1, load=[[out]])
+    assert np.isfinite(res["mean_auc"])
+    # and the stored params really are the torch weights
+    from flax import serialization
+    with open(out, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    assert payload["epoch"] == 7
+    np.testing.assert_allclose(payload["params"]["fc2"]["kernel"],
+                               tm.fc2.weight.detach().numpy().T, rtol=1e-6)
