@@ -1,0 +1,163 @@
+"""Offline data-prep + integrity CLI (eoe_tpu.main.prepare_data): the offline
+half of the reference's download/verify bootstrap (mvtec.py:194-256,
+cub.py:191-210, clip.py:18-53 sha256)."""
+
+import hashlib
+import io
+import os
+import os.path as pt
+import pickle
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from eoe_tpu.main.prepare_data import (CLIP_SHA256, file_digest, main,
+                                       verify_file)
+
+
+def _tar_from_tree(tree: dict, out_path: str, mode: str = "w:gz"):
+    """tree: {relative/path: bytes} -> tar archive."""
+    with tarfile.open(out_path, mode) as t:
+        for rel, data in tree.items():
+            info = tarfile.TarInfo(rel)
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+    return out_path
+
+
+def _png_bytes(hw=16, seed=0) -> bytes:
+    img = Image.fromarray(
+        np.random.default_rng(seed).integers(0, 255, (hw, hw, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------- digests
+
+
+def test_verify_file_pass_and_fail(tmp_path):
+    f = tmp_path / "blob.bin"
+    f.write_bytes(b"payload")
+    good = hashlib.md5(b"payload").hexdigest()
+    assert file_digest(str(f), "md5") == good
+    verify_file(str(f), "md5", good)  # passes
+    verify_file(str(f), "md5", None)  # unknown digest: silently passes
+    verify_file(str(f), "md5", "0" * 32, skip=True)  # explicit skip
+    with pytest.raises(ValueError, match="md5 mismatch"):
+        verify_file(str(f), "md5", "0" * 32)
+    sha = hashlib.sha256(b"payload").hexdigest()
+    verify_file(str(f), "sha256", sha)
+
+
+# ----------------------------------------------------------------- cifar
+
+
+def test_prepare_cifar10_extracts_loadable_layout(tmp_path):
+    from eoe_tpu.datasets.cifar import load_cifar10
+
+    def batch(n, labels_key=b"labels"):
+        return pickle.dumps({
+            b"data": np.zeros((n, 3072), np.uint8),
+            labels_key: list(np.zeros(n, np.int64))})
+
+    tree = {f"cifar-10-batches-py/data_batch_{i}": batch(4) for i in range(1, 6)}
+    tree["cifar-10-batches-py/test_batch"] = batch(4)
+    arch = _tar_from_tree(tree, str(tmp_path / "cifar-10-python.tar.gz"))
+
+    out = main(["cifar10", arch, "--datapath", str(tmp_path), "--skip-hash"])
+    assert pt.isdir(out)
+    xtr, ytr, xte, yte = load_cifar10(pt.join(str(tmp_path), "datasets", "cifar10"))
+    assert xtr.shape == (20, 32, 32, 3) and xte.shape == (4, 32, 32, 3)
+    # the real archive must hash-verify: a corrupt one raises
+    with pytest.raises(ValueError, match="md5 mismatch"):
+        main(["cifar10", arch, "--datapath", str(tmp_path)])
+
+
+# ----------------------------------------------------------------- mvtec
+
+
+def test_prepare_mvtec_builds_blob(tmp_path):
+    tree = {}
+    for cls in ("bottle", "wood"):
+        for i in range(2):
+            tree[f"{cls}/train/good/{i:03}.png"] = _png_bytes(seed=i)
+            tree[f"{cls}/test/good/{i:03}.png"] = _png_bytes(seed=10 + i)
+            tree[f"{cls}/test/broken/{i:03}.png"] = _png_bytes(seed=20 + i)
+    arch = _tar_from_tree(tree, str(tmp_path / "mvtec_anomaly_detection.tar.xz"),
+                          mode="w:xz")
+    main(["mvtec", arch, "--datapath", str(tmp_path), "--blob-resolution", "32"])
+    blob = pt.join(str(tmp_path), "datasets", "mvtec", "admvtec_32x32.npz")
+    assert pt.exists(blob)
+    d = np.load(blob, allow_pickle=False)
+    assert d["train_data"].shape == (4, 32, 32, 3)
+    assert d["test_data"].shape == (8, 32, 32, 3)
+    assert set(d["test_anomaly_labels"]) == {0, 1, 2}  # good + 2 class defects
+
+
+# ------------------------------------------------------------------- cub
+
+
+def test_prepare_cub_integrity_sweep(tmp_path):
+    imgs = {"001.Black_footed_Albatross/a.jpg", "002.Laysan_Albatross/b.jpg"}
+    tree = {f"CUB_200_2011/images/{rel}": _png_bytes() for rel in imgs}
+    tree["CUB_200_2011/images.txt"] = "".join(
+        f"{i + 1} {rel}\n" for i, rel in enumerate(sorted(imgs))).encode()
+    arch = _tar_from_tree(tree, str(tmp_path / "CUB_200_2011.tgz"))
+    out = main(["cub", arch, "--datapath", str(tmp_path), "--skip-hash"])
+    assert pt.exists(pt.join(out, "images.txt"))
+
+    # corrupt: images.txt lists a file the archive lacks -> hard failure
+    # (cub.py:203-210 role)
+    tree.pop("CUB_200_2011/images/001.Black_footed_Albatross/a.jpg")
+    arch2 = _tar_from_tree(tree, str(tmp_path / "CUB_bad.tgz"))
+    with pytest.raises(FileNotFoundError, match="corrupted"):
+        main(["cub", arch2, "--datapath", str(tmp_path / "dp2"), "--skip-hash"])
+
+
+# ------------------------------------------------------------------ clip
+
+
+def test_prepare_clip_sha256(tmp_path):
+    ck = tmp_path / "ViT-B-32.pt"
+    ck.write_bytes(b"not the real checkpoint")
+    with pytest.raises(ValueError, match="sha256 mismatch"):
+        main(["clip", str(ck), "--datapath", str(tmp_path)])
+    # unknown checkpoint names are refused unless forced
+    other = tmp_path / "mystery.pt"
+    other.write_bytes(b"x")
+    with pytest.raises(ValueError, match="unknown CLIP checkpoint"):
+        main(["clip", str(other), "--datapath", str(tmp_path)])
+    out = main(["clip", str(ck), "--datapath", str(tmp_path), "--skip-hash"])
+    assert pt.exists(out)
+    # the published digest table matches the reference URLs (clip.py:18-23)
+    assert CLIP_SHA256["ViT-B-32.pt"].startswith("40d365")
+
+
+# ----------------------------------------------------------------- mnist
+
+
+def test_prepare_mnist_places_gz(tmp_path):
+    import gzip
+    src = tmp_path / "train-images-idx3-ubyte.gz"
+    with gzip.open(src, "wb") as f:
+        f.write(b"\x00" * 16)
+    with pytest.raises(ValueError, match="md5 mismatch"):
+        main(["mnist", str(src), "--datapath", str(tmp_path)])
+    main(["mnist", str(src), "--datapath", str(tmp_path), "--skip-hash"])
+    assert pt.exists(pt.join(str(tmp_path), "datasets", "mnist",
+                             "train-images-idx3-ubyte.gz"))
+
+
+# ------------------------------------------------------------ tinyimages
+
+
+def test_prepare_tinyimages_size_gate(tmp_path):
+    f = tmp_path / "tiny_images.bin"
+    f.write_bytes(b"\x00" * 3072)
+    with pytest.raises(ValueError, match="79302017"):
+        main(["tinyimages", str(f), "--datapath", str(tmp_path)])
+    out = main(["tinyimages", str(f), "--datapath", str(tmp_path), "--skip-hash"])
+    assert pt.exists(out)
