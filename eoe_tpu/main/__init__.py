@@ -190,6 +190,10 @@ def _enable_compile_cache():
     if os.environ.get("EOE_TPU_COMPILE_CACHE", "1") == "0":
         return
     import jax
+    if jax.default_backend() == "cpu":
+        # CPU AOT cache entries are machine-feature-specific: entries written
+        # by the remote TPU host's CPU load as pathologically slow executables
+        return
     try:
         jax.config.update("jax_compilation_cache_dir",
                           pt.expanduser("~/.cache/eoe_tpu_jax"))

@@ -107,8 +107,9 @@ class ClipTrainer(Trainer):
         batch_stats = jax.tree_util.tree_map(
             jnp.array, self._clip_variables.get("batch_stats", {}))
         tx = self.make_optimizer(steps_per_epoch)
+        trainable, _ = self._split_trainable(params)
         return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+                          opt_state=tx.init(trainable), step=jnp.zeros((), jnp.int32))
 
     def make_optimizer(self, steps_per_epoch: int):
         return make_optimizer("sgd", self.lr, self.wdk, self.milestones, steps_per_epoch)

@@ -20,6 +20,7 @@ boolean indexing for GPU transforms (:406-444) — is here one pure jitted
     (:177-354).
 """
 
+import os
 import time
 from dataclasses import dataclass, field
 from functools import partial
@@ -197,8 +198,29 @@ class Trainer:
                            if self.mesh is not None
                            else jax.device_put(batch_stats, device))
         tx = self.make_optimizer(steps_per_epoch)
+        trainable, _ = self._split_trainable(params)
         return TrainState(params=params, batch_stats=batch_stats,
-                          opt_state=tx.init(params), step=jnp.zeros((), jnp.int32))
+                          opt_state=tx.init(trainable), step=jnp.zeros((), jnp.int32))
+
+    def trainable_param_keys(self, params) -> Optional[frozenset]:
+        """Top-level param-tree keys the training loss reaches; None = all.
+        CLIP trains only the image tower: the text tower gets no gradients, and
+        torch leaves None-grad params untouched (the reference's SGD never
+        updates or decays the text encoder, ad_trainer.py:380-384) — excluding
+        it here reproduces that AND removes ~63M params of zero-grad buffers,
+        optimizer state, and per-step update traffic."""
+        from eoe_tpu.models.clip.model import CLIP as ClipModel
+        if isinstance(self.model, ClipModel) and "visual" in params:
+            return frozenset(["visual"])
+        return None
+
+    def _split_trainable(self, params):
+        """(trainable, frozen) top-level split of the param tree."""
+        keys = self.trainable_param_keys(params)
+        if keys is None:
+            return params, {}
+        return ({k: v for k, v in params.items() if k in keys},
+                {k: v for k, v in params.items() if k not in keys})
 
     def place_params(self, params):
         """Place parameters on the mesh: TP sharding rules (Megatron-style
@@ -275,6 +297,7 @@ class Trainer:
         objective = self.objective
 
         def step(state, xn, ln, xo, lo, w, key, center, rt_stats):
+            trainable0, frozen0 = self._split_trainable(state.params)
             kn, ko = jax.random.split(jax.random.fold_in(key, state.step))
             xn = self._constrain_batch(xn)
             xn = self._preprocess(ds, xn, ln, kn, True, "normal", rt_stats)
@@ -289,8 +312,8 @@ class Trainer:
             weights = weights * (labels >= 0)
             x = x.astype(self.compute_dtype)
 
-            def loss_fn(params):
-                variables = {"params": params}
+            def loss_fn(trainable):
+                variables = {"params": {**trainable, **frozen0}}
                 if state.batch_stats:
                     variables["batch_stats"] = state.batch_stats
                     feats, mut = self.model.apply(variables, x, train=True, mutable=["batch_stats"])
@@ -302,9 +325,9 @@ class Trainer:
                 loss = objective.loss(feats, labels, center, weights=weights, **self._loss_kwargs(x))
                 return loss, (feats, new_bs)
 
-            (loss, (feats, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
+            (loss, (feats, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable0)
+            updates, new_opt = tx.update(grads, state.opt_state, trainable0)
+            new_params = {**optax.apply_updates(trainable0, updates), **frozen0}
             scores = objective.score(feats, center, **self._loss_kwargs(x)).reshape(-1)
             new_state = state.replace(params=new_params, opt_state=new_opt,
                                       batch_stats=new_bs, step=state.step + 1)
@@ -575,7 +598,16 @@ class Trainer:
         rt_stats = self._rt_stats(ds)
 
         normal_ds = ds.normal if combined else ds
-        resident = _is_resident(train_set) and (not has_oe or _is_resident(oe_set))
+        # the device-resident whole-epoch/chunked scan is a TPU optimization:
+        # XLA:CPU executes convolution BACKWARD ops inside while-loop bodies
+        # ~40x slower than as top-level ops (measured: CNN32 grad step 39x,
+        # pure conv-grad 38x; fwd convs and matmuls in scan are fine), so the
+        # CPU backend (tests, virtual meshes) takes the per-step path.
+        # EOE_TPU_CPU_SCAN=1 forces the scan path for coverage tests.
+        scan_ok = (jax.default_backend() != "cpu"
+                   or os.environ.get("EOE_TPU_CPU_SCAN") == "1")
+        resident = (_is_resident(train_set) and (not has_oe or _is_resident(oe_set))
+                    and scan_ok)
         if resident:
             Xn = jnp.asarray(train_set.gather_all())
             Ln = jnp.asarray(normal_ds.binary_targets(train_set))

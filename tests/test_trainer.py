@@ -232,3 +232,26 @@ def test_logger_tensorboard_default_on(tmp_path):
     off = Logger(str(tmp_path / "run2"), noname=True, archive_source=False,
                  tensorboard=False)
     assert off.tb_writer is None
+
+
+def test_resident_scan_path_matches_per_step(tmp_path, monkeypatch):
+    """The TPU whole-epoch scan path and the CPU per-step fallback are the
+    same program: same key -> identical final params and train AUC. (The scan
+    path is CPU-gated because XLA:CPU runs conv backward ops inside scan
+    bodies ~40x slower; EOE_TPU_CPU_SCAN=1 forces it for this test.)"""
+    finals = {}
+    for name, force_scan in (("step", False), ("scan", True)):
+        if force_scan:
+            monkeypatch.setenv("EOE_TPU_CPU_SCAN", "1")
+        else:
+            monkeypatch.delenv("EOE_TPU_CPU_SCAN", raising=False)
+        ds = separable_ds(np.random.default_rng(0))
+        trainer = make_trainer(tmp_path / name, epochs=2)
+        trainer.ds = ds
+        state, roc = trainer.train_cls(ds, 0, "x", 0, jax.random.key(0))
+        finals[name] = (jax.tree_util.tree_map(np.asarray, state.params), roc.auc)
+    p_step, auc_step = finals["step"]
+    p_scan, auc_scan = finals["scan"]
+    for a, b in zip(jax.tree_util.tree_leaves(p_step), jax.tree_util.tree_leaves(p_scan)):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    assert auc_step == pytest.approx(auc_scan, abs=1e-9)
