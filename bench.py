@@ -11,6 +11,10 @@ Weights are randomly initialized (no egress for the OpenAI checkpoint);
 throughput is weight-independent.
 
 EOE_TPU_BENCH_MODEL=cnn32 switches to the CIFAR-scale CNN32 benchmark.
+EOE_TPU_BENCH_MESH=N trains over an N-device data-parallel mesh and reports
+per-chip throughput (on the single-TPU session this is exercised with
+JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N to
+measure DP scaling shape; absolute CPU numbers are not the headline).
 """
 
 import json
@@ -21,7 +25,7 @@ import time
 import numpy as np
 
 
-def build_trainer(model_kind: str, logger):
+def build_trainer(model_kind: str, logger, mesh=None):
     import jax.numpy as jnp
 
     from eoe_tpu.datasets.bases import ArraySource, CombinedDataset, GenericADDataset
@@ -46,6 +50,9 @@ def build_trainer(model_kind: str, logger):
         train_specs = [{"op": "random_hflip"}, "normalize"]
         test_specs = ["normalize"]
         compute_dtype = jnp.float32
+    # overrides for scaling studies on slower backends (CPU-mesh DP shape)
+    N = int(os.environ.get("EOE_TPU_BENCH_N", N))
+    epochs = int(os.environ.get("EOE_TPU_BENCH_EPOCHS", epochs))
 
     xtr = rng.integers(0, 256, (N, HW, HW, 3), np.uint8)
     xoe = rng.integers(0, 256, (N, HW, HW, 3), np.uint8)
@@ -61,49 +68,68 @@ def build_trainer(model_kind: str, logger):
         model=model, objective="hsc", train_specs=train_specs, test_specs=test_specs,
         dataset="cifar10", oe_dataset="cifar100", datapath="/tmp", logger=logger,
         epochs=epochs, lr=1e-4, wdk=1e-3, milestones=[], batch_size=B,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, mesh=mesh)
     trainer.ds = ds
     return trainer, ds
 
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # a sitecustomize may have re-forced the TPU platform; honor the env
+        jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: repeat bench runs (and the driver's) skip
-    # the ~4min ViT-B/32 compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/eoe_tpu_jax")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass
+    # the ~4min ViT-B/32 compile. NOT for the CPU backend: the cache may hold
+    # CPU AOT results compiled on a machine with different CPU features (the
+    # remote TPU host), which load as pathologically slow/unsafe executables
+    if jax.default_backend() != "cpu":
+        try:
+            jax.config.update("jax_compilation_cache_dir", "/root/.cache/eoe_tpu_jax")
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+        except Exception:
+            pass
     import jax.random as jrandom
 
     from eoe_tpu.utils.logger import Logger
 
     model_kind = os.environ.get("EOE_TPU_BENCH_MODEL", "clip")
-    n_chips = jax.device_count()
-    trainer, ds = build_trainer(model_kind, Logger("/tmp/eoe_tpu_bench", active=False))
+    mesh = None
+    mesh_n = int(os.environ.get("EOE_TPU_BENCH_MESH", "0"))
+    if mesh_n > 1:
+        from eoe_tpu.parallel import mesh as meshlib
+        mesh = meshlib.make_mesh(meshlib.MeshConfig(data=mesh_n),
+                                 jax.devices()[:mesh_n])
+    n_chips = mesh_n if mesh is not None else jax.device_count()
+    trainer, ds = build_trainer(model_kind, Logger("/tmp/eoe_tpu_bench", active=False),
+                                mesh=mesh)
 
     # epoch 1 compiles + pays the resident-array device_put; steady state =
     # median of the remaining per-epoch rates
     trainer.train_cls(ds, 0, "bench", 0, jrandom.key(0))
-    ips_chip = float(np.median(trainer.epoch_rates[2:])) / max(n_chips, 1)
+    steady = trainer.epoch_rates[2:] or trainer.epoch_rates[-1:]
+    ips_chip = float(np.median(steady)) / max(n_chips, 1)
 
     name = "CLIP ViT-B/32" if model_kind == "clip" else "CNN32"
+    # baseline records are per-backend and per-mesh so CPU scaling runs never
+    # pollute the TPU headline baseline
+    rec_key = model_kind + (f"@mesh{mesh_n}" if mesh is not None else "") \
+        + (f"@{jax.default_backend()}" if jax.default_backend() != "axon" else "")
     baseline_file = pt.join(pt.dirname(pt.abspath(__file__)), ".bench_baseline.json")
     base = None
     if pt.exists(baseline_file):
         with open(baseline_file) as f:
             rec = json.load(f)
-        base = rec.get(model_kind)
-    if base is None:
+        base = rec.get(rec_key)
+    if (base is None or not np.isfinite(base)) and np.isfinite(ips_chip):
         rec = {} if not pt.exists(baseline_file) else json.load(open(baseline_file))
-        rec[model_kind] = ips_chip
+        rec[rec_key] = ips_chip
         with open(baseline_file, "w") as f:
             json.dump(rec, f)
         base = ips_chip
 
+    mesh_tag = f", DP mesh x{mesh_n}" if mesh is not None else ""
     print(json.dumps({
-        "metric": f"images/sec/chip ({name} HSC train, bf16, fused device pipeline)",
+        "metric": f"images/sec/chip ({name} HSC train, bf16, fused device pipeline{mesh_tag})",
         "value": round(ips_chip, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(ips_chip / base, 3),

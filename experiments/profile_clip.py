@@ -1,0 +1,99 @@
+"""Profile the steady-state CLIP bench train step on the TPU and print a
+device-time breakdown (top ops by total duration + category rollup).
+
+Usage:  python experiments/profile_clip.py [--steps 4] [--logdir /tmp/eoe_prof]
+Writes the raw jax.profiler trace under --logdir and prints the parsed
+summary used for the roofline note in PARITY.md.
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os.path as pt
+import sys
+import time
+from collections import defaultdict
+
+import numpy as np
+
+sys.path.insert(0, pt.dirname(pt.dirname(pt.abspath(__file__))))
+
+
+def run_profiled_epochs(steps: int, logdir: str):
+    import jax
+    import jax.random as jrandom
+
+    import bench
+    from eoe_tpu.utils.logger import Logger
+    from eoe_tpu.utils.profiling import profile
+
+    trainer, ds = bench.build_trainer("clip", Logger("/tmp/eoe_tpu_prof_run", active=False))
+    trainer.epochs = 2  # epoch 1 compiles; epoch 2 is steady-state warmup
+    trainer.train_cls(ds, 0, "warmup", 0, jrandom.key(0))
+    trainer.epochs = 3
+    with profile(logdir):
+        trainer.train_cls(ds, 0, "profiled", 0, jrandom.key(0))
+    print(f"steady-state epoch rates: {[round(r) for r in trainer.epoch_rates]}")
+
+
+def parse_trace(logdir: str, topk: int = 25):
+    traces = sorted(glob.glob(pt.join(logdir, "plugins", "profile", "*", "*.trace.json.gz")))
+    assert traces, f"no trace under {logdir}"
+    with gzip.open(traces[-1]) as f:
+        data = json.load(f)
+    events = data["traceEvents"]
+    # device pids: process_name metadata containing 'TPU' but not transfers
+    pid_names = {e["pid"]: e["args"]["name"] for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    dev_pids = {p for p, n in pid_names.items() if "TPU" in n and "transfer" not in n.lower()}
+    op_total = defaultdict(float)
+    op_count = defaultdict(int)
+    total = 0.0
+    tmin, tmax = float("inf"), 0.0
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
+            name = e["name"]
+            op_total[name] += e["dur"]
+            op_count[name] += 1
+            total += e["dur"]
+            tmin = min(tmin, e["ts"])
+            tmax = max(tmax, e["ts"] + e["dur"])
+    span = tmax - tmin
+    print(f"\ndevice busy {total / 1e3:.1f}ms over a {span / 1e3:.1f}ms span "
+          f"({100 * total / max(span, 1):.0f}% busy)")
+    print(f"{'op':64s} {'count':>5s} {'total_ms':>9s} {'%':>5s}")
+    for name, dur in sorted(op_total.items(), key=lambda kv: -kv[1])[:topk]:
+        print(f"{name[:64]:64s} {op_count[name]:5d} {dur / 1e3:9.2f} {100 * dur / total:5.1f}")
+
+    # category rollup by name heuristics
+    cats = defaultdict(float)
+    for name, dur in op_total.items():
+        n = name.lower()
+        if "conv" in n:
+            cats["conv(patch-embed)"] += dur
+        elif any(k in n for k in ("dot", "matmul", "einsum")):
+            cats["matmul"] += dur
+        elif any(k in n for k in ("copy", "transpose", "bitcast", "reshape")):
+            cats["copy/transpose"] += dur
+        elif "fusion" in n:
+            cats["fusion(misc)"] += dur
+        elif any(k in n for k in ("all-reduce", "all-gather", "reduce-scatter")):
+            cats["collective"] += dur
+        else:
+            cats["other"] += dur
+    print("\ncategory rollup:")
+    for c, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
+        print(f"  {c:20s} {dur / 1e3:9.2f}ms {100 * dur / total:5.1f}%")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--logdir", type=str, default="/tmp/eoe_prof")
+    ap.add_argument("--parse-only", action="store_true")
+    args = ap.parse_args()
+    if not args.parse_only:
+        run_profiled_epochs(args.steps, args.logdir)
+    parse_trace(args.logdir)
