@@ -53,6 +53,7 @@ def build_trainer(model_kind: str, logger, mesh=None):
     # overrides for scaling studies on slower backends (CPU-mesh DP shape)
     N = int(os.environ.get("EOE_TPU_BENCH_N", N))
     epochs = int(os.environ.get("EOE_TPU_BENCH_EPOCHS", epochs))
+    B = int(os.environ.get("EOE_TPU_BENCH_B", B))
 
     xtr = rng.integers(0, 256, (N, HW, HW, 3), np.uint8)
     xoe = rng.integers(0, 256, (N, HW, HW, 3), np.uint8)
@@ -113,7 +114,7 @@ def main():
     # baseline records are per-backend and per-mesh so CPU scaling runs never
     # pollute the TPU headline baseline
     rec_key = model_kind + (f"@mesh{mesh_n}" if mesh is not None else "") \
-        + (f"@{jax.default_backend()}" if jax.default_backend() != "axon" else "")
+        + (f"@{jax.default_backend()}" if jax.default_backend() != "tpu" else "")
     baseline_file = pt.join(pt.dirname(pt.abspath(__file__)), ".bench_baseline.json")
     base = None
     if pt.exists(baseline_file):

@@ -52,29 +52,58 @@ class VmappedEvaluator:
         tx = trainer.make_optimizer(steps)
         core = trainer._train_step_core(ds, tx, has_oe)
 
-        def train_full(state, Xn, Ln, Xo_cand, idx_n, idx_o, w, keys, center, rt_stats):
-            """Full training of ONE candidate: scan over all (epoch, step)
-            pairs; Xo_cand (oesize, h, w, c) is this candidate's OE pool."""
-            lo = jnp.full((idx_n.shape[-1],), ds.anomalous_label, jnp.int32)
+        def train_one_step(state, Xn, Ln, Xo_cand, i_n, i_o, w_s, key, center, rt_stats):
+            lo = jnp.full((i_n.shape[-1],), ds.anomalous_label, jnp.int32)
+            xn = jnp.take(Xn, i_n, axis=0)
+            ln = jnp.take(Ln, i_n, axis=0)
+            xo = jnp.take(Xo_cand, i_o, axis=0)
+            state, out = core(state, xn, ln, xo, lo, w_s, key, center, rt_stats)
+            return state, out[0]
 
-            def step_body(state, per_step):
-                i_n, i_o, w_s, key = per_step
-                xn = jnp.take(Xn, i_n, axis=0)
-                ln = jnp.take(Ln, i_n, axis=0)
-                xo = jnp.take(Xo_cand, i_o, axis=0)
-                state, out = core(state, xn, ln, xo, lo, w_s, key, center, rt_stats)
-                return state, out[0]
+        from eoe_tpu.training.trainer import scan_ok
+        if scan_ok():
+            def train_full(state, Xn, Ln, Xo_cand, idx_n, idx_o, w, keys, center, rt_stats):
+                """Full training of ONE candidate: scan over all (epoch, step)
+                pairs; Xo_cand (oesize, h, w, c) is this candidate's OE pool."""
+                def step_body(state, per_step):
+                    i_n, i_o, w_s, key = per_step
+                    return train_one_step(state, Xn, Ln, Xo_cand, i_n, i_o, w_s,
+                                          key, center, rt_stats)
 
-            flat_n = idx_n.reshape(-1, idx_n.shape[-1])
-            flat_o = idx_o.reshape(-1, idx_o.shape[-1])
-            flat_w = w.reshape(-1, w.shape[-1])
-            flat_k = keys.reshape(-1)
-            state, losses = jax.lax.scan(step_body, state, (flat_n, flat_o, flat_w, flat_k))
-            return state, losses
+                flat_n = idx_n.reshape(-1, idx_n.shape[-1])
+                flat_o = idx_o.reshape(-1, idx_o.shape[-1])
+                flat_w = w.reshape(-1, w.shape[-1])
+                flat_k = keys.reshape(-1)
+                state, losses = jax.lax.scan(step_body, state,
+                                             (flat_n, flat_o, flat_w, flat_k))
+                return state, losses
 
-        # vmap: candidate axis on (state, Xo_cand); shared everything else
-        self._train_fn = jax.jit(jax.vmap(
-            train_full, in_axes=(0, None, None, 0, None, None, None, None, None, None)))
+            # vmap: candidate axis on (state, Xo_cand); shared everything else
+            self._train_fn = jax.jit(jax.vmap(
+                train_full, in_axes=(0, None, None, 0, None, None, None, None, None, None)))
+        else:
+            # CPU fallback: per-step dispatch of the vmapped core
+            # (conv backward in scan bodies is pathological on XLA:CPU —
+            # see eoe_tpu.training.trainer.scan_ok)
+            step_vmapped = jax.jit(jax.vmap(
+                train_one_step,
+                in_axes=(0, None, None, 0, None, None, None, None, None, None)))
+
+            def train_loop(states, Xn, Ln, Xo, idx_n, idx_o, w, keys, center, rt_stats):
+                flat_n = idx_n.reshape(-1, idx_n.shape[-1])
+                flat_o = idx_o.reshape(-1, idx_o.shape[-1])
+                flat_w = w.reshape(-1, w.shape[-1])
+                flat_k = keys.reshape(-1)
+                losses = []
+                for s in range(flat_n.shape[0]):
+                    states, l = step_vmapped(states, Xn, Ln, Xo, flat_n[s], flat_o[s],
+                                             flat_w[s], flat_k[s], center, rt_stats)
+                    losses.append(l)
+                stacked = (jnp.stack(losses, axis=1) if losses
+                           else jnp.zeros((idx_n.shape[0], 0), jnp.float32))
+                return states, stacked
+
+            self._train_fn = train_loop
 
         def fwd(state, x, labels, center, rt_stats):
             x = trainer._preprocess(ds, x, labels, None, False, "normal", rt_stats)

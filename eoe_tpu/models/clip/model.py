@@ -97,33 +97,36 @@ class MultiHeadAttention(nn.Module):
     width: int
     heads: int
     attention_fn: Optional[AttentionFn] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         n, s, d = x.shape
         hd = d // self.heads
-        qkv = nn.Dense(3 * d, name="qkv")(x)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
         attn = (self.attention_fn or default_attention)(q, k, v, mask)
         attn = attn.transpose(0, 2, 1, 3).reshape(n, s, d)
-        return nn.Dense(d, name="attn_out")(attn)
+        return nn.Dense(d, dtype=self.dtype, name="attn_out")(attn)
 
 
 class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     attention_fn: Optional[AttentionFn] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         x = x + MultiHeadAttention(self.width, self.heads, self.attention_fn,
+                                   self.dtype,
                                    name="attn")(LayerNormF32(name="ln_1")(x), mask)
         h = LayerNormF32(name="ln_2")(x)
-        h = nn.Dense(4 * self.width, name="mlp_up")(h)
-        h = nn.Dense(self.width, name="mlp_down")(quick_gelu(h))
+        h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_up")(h)
+        h = nn.Dense(self.width, dtype=self.dtype, name="mlp_down")(quick_gelu(h))
         return x + h
 
 
@@ -132,18 +135,20 @@ class TransformerStack(nn.Module):
     layers: int
     heads: int
     attention_fn: Optional[AttentionFn] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, self.attention_fn,
-                                       name=f"block{i}")(x, mask)
+                                       self.dtype, name=f"block{i}")(x, mask)
         return x
 
 
 class VisionTransformer(nn.Module):
     config: ClipConfig
     attention_fn: Optional[AttentionFn] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -151,7 +156,7 @@ class VisionTransformer(nn.Module):
         # x: NHWC in the CLIP-normalized range
         x = nn.Conv(cfg.vision_width, (cfg.vision_patch_size,) * 2,
                     strides=cfg.vision_patch_size, padding="VALID", use_bias=False,
-                    name="patch_embed")(x)
+                    dtype=self.dtype, name="patch_embed")(x)
         n, gh, gw, w = x.shape
         x = x.reshape(n, gh * gw, w)
         cls_tok = self.param("class_embedding", nn.initializers.normal(w ** -0.5), (w,))
@@ -161,7 +166,7 @@ class VisionTransformer(nn.Module):
         x = x + pos.astype(x.dtype)
         x = LayerNormF32(name="ln_pre")(x)
         x = TransformerStack(w, cfg.vision_layers, cfg.vision_heads,
-                             self.attention_fn, name="transformer")(x)
+                             self.attention_fn, self.dtype, name="transformer")(x)
         x = LayerNormF32(name="ln_post")(x[:, 0, :])
         proj = self.param("proj", nn.initializers.normal(w ** -0.5), (w, cfg.embed_dim))
         return x @ proj.astype(x.dtype)
@@ -171,26 +176,28 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     expansion: int = 4
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, name=name)
-        out = nn.relu(bn("bn1")(nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)))
+        out = nn.relu(bn("bn1")(nn.Conv(self.planes, (1, 1), use_bias=False,
+                                        dtype=self.dtype, name="conv1")(x)))
         out = nn.relu(bn("bn2")(nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                                        name="conv2")(out)))
+                                        dtype=self.dtype, name="conv2")(out)))
         if self.stride > 1:  # blur-pool: avgpool before the expanding conv
             out = nn.avg_pool(out, (self.stride,) * 2, strides=(self.stride,) * 2)
         out = bn("bn3")(nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                                name="conv3")(out))
+                                dtype=self.dtype, name="conv3")(out))
         identity = x
         if self.stride > 1 or x.shape[-1] != self.planes * self.expansion:
             identity = x
             if self.stride > 1:
                 identity = nn.avg_pool(identity, (self.stride,) * 2, strides=(self.stride,) * 2)
             identity = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                               name="down_conv")(identity)
+                               dtype=self.dtype, name="down_conv")(identity)
             identity = bn("down_bn")(identity)
         return nn.relu(out + identity)
 
@@ -199,6 +206,7 @@ class AttentionPool2d(nn.Module):
     embed_dim: int
     heads: int
     output_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -211,20 +219,21 @@ class AttentionPool2d(nn.Module):
         x = x + pos.astype(x.dtype)
         # separate q/k/v projections (reference AttentionPool2d, model.py:56-90);
         # query = the mean token only
-        q = nn.Dense(self.embed_dim, name="q_proj")(x[:, :1])
-        k = nn.Dense(self.embed_dim, name="k_proj")(x)
-        v = nn.Dense(self.embed_dim, name="v_proj")(x)
+        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(x[:, :1])
+        k = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(x)
         hd = self.embed_dim // self.heads
         q = q.reshape(n, 1, self.heads, hd).transpose(0, 2, 1, 3)
         k = k.reshape(n, -1, self.heads, hd).transpose(0, 2, 1, 3)
         v = v.reshape(n, -1, self.heads, hd).transpose(0, 2, 1, 3)
         out = default_attention(q, k, v, None)
         out = out.transpose(0, 2, 1, 3).reshape(n, 1, self.embed_dim)[:, 0]
-        return nn.Dense(self.output_dim, name="c_proj")(out)
+        return nn.Dense(self.output_dim, dtype=self.dtype, name="c_proj")(out)
 
 
 class ModifiedResNet(nn.Module):
     config: ClipConfig
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
@@ -236,19 +245,20 @@ class ModifiedResNet(nn.Module):
                                 epsilon=1e-5, name=name)
         # 3-conv stem with avg-pool
         x = nn.relu(bn("bn1")(nn.Conv(width // 2, (3, 3), strides=2, padding=1,
-                                      use_bias=False, name="conv1")(x)))
+                                      use_bias=False, dtype=self.dtype, name="conv1")(x)))
         x = nn.relu(bn("bn2")(nn.Conv(width // 2, (3, 3), padding=1,
-                                      use_bias=False, name="conv2")(x)))
+                                      use_bias=False, dtype=self.dtype, name="conv2")(x)))
         x = nn.relu(bn("bn3")(nn.Conv(width, (3, 3), padding=1,
-                                      use_bias=False, name="conv3")(x)))
+                                      use_bias=False, dtype=self.dtype, name="conv3")(x)))
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         for stage, blocks in enumerate(cfg.vision_layers, start=1):
             planes = width * (2 ** (stage - 1))
             for b in range(blocks):
                 stride = 2 if (stage > 1 and b == 0) else 1
-                x = Bottleneck(planes, stride, name=f"layer{stage}_{b}")(x, train)
+                x = Bottleneck(planes, stride, dtype=self.dtype,
+                               name=f"layer{stage}_{b}")(x, train)
         return AttentionPool2d(width * 32, cfg.vision_heads, cfg.embed_dim,
-                               name="attnpool")(x)
+                               self.dtype, name="attnpool")(x)
 
 
 class CLIP(nn.Module):
@@ -265,12 +275,13 @@ class CLIP(nn.Module):
     def setup(self):
         cfg = self.config
         if cfg.is_vit:
-            self.visual = VisionTransformer(cfg, self.attention_fn, name="visual")
+            self.visual = VisionTransformer(cfg, self.attention_fn, self.dtype,
+                                            name="visual")
         else:
-            self.visual = ModifiedResNet(cfg, name="visual")
+            self.visual = ModifiedResNet(cfg, self.dtype, name="visual")
         self.text_transformer = TransformerStack(
             cfg.transformer_width, cfg.transformer_layers, cfg.transformer_heads,
-            self.attention_fn, name="transformer")
+            self.attention_fn, self.dtype, name="transformer")
         self.token_embedding = nn.Embed(cfg.vocab_size, cfg.transformer_width,
                                         embedding_init=nn.initializers.normal(0.02),
                                         name="token_embedding")

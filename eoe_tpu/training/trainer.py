@@ -44,6 +44,18 @@ from eoe_tpu.utils.logger import Logger
 AD_MODES = ("one_vs_rest", "leave_one_out", "fifty_fifty")
 
 
+def scan_ok() -> bool:
+    """Whether multi-step ``lax.scan`` training programs are worthwhile on
+    this backend. The device-resident whole-epoch/chunked scan is a TPU
+    optimization: XLA:CPU executes convolution BACKWARD ops inside while-loop
+    bodies ~40x slower than as top-level ops (measured: CNN32 grad step 39x,
+    pure conv-grad 38x; fwd convs and matmuls in scan are fine), so the CPU
+    backend (tests, virtual meshes) takes per-step paths instead.
+    EOE_TPU_CPU_SCAN=1 forces the scan path for coverage tests."""
+    return (jax.default_backend() != "cpu"
+            or os.environ.get("EOE_TPU_CPU_SCAN") == "1")
+
+
 class NanGradientsError(RuntimeError):
     """Anomaly scores turned NaN during an epoch (ad_trainer.py:23,447-449)."""
 
@@ -598,16 +610,8 @@ class Trainer:
         rt_stats = self._rt_stats(ds)
 
         normal_ds = ds.normal if combined else ds
-        # the device-resident whole-epoch/chunked scan is a TPU optimization:
-        # XLA:CPU executes convolution BACKWARD ops inside while-loop bodies
-        # ~40x slower than as top-level ops (measured: CNN32 grad step 39x,
-        # pure conv-grad 38x; fwd convs and matmuls in scan are fine), so the
-        # CPU backend (tests, virtual meshes) takes the per-step path.
-        # EOE_TPU_CPU_SCAN=1 forces the scan path for coverage tests.
-        scan_ok = (jax.default_backend() != "cpu"
-                   or os.environ.get("EOE_TPU_CPU_SCAN") == "1")
         resident = (_is_resident(train_set) and (not has_oe or _is_resident(oe_set))
-                    and scan_ok)
+                    and scan_ok())
         if resident:
             Xn = jnp.asarray(train_set.gather_all())
             Ln = jnp.asarray(normal_ds.binary_targets(train_set))

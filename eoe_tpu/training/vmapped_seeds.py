@@ -58,26 +58,48 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
     Lo = jnp.asarray(ds.oe.binary_targets(oe_set)) if has_oe else None
 
     def build_epoch_vmapped():
+        from eoe_tpu.training.trainer import scan_ok
         core = trainer._train_step_core(ds, tx, has_oe)
 
-        def train_epoch(state, Xn, Ln, Xo, Lo, idx_n, idx_o, w, key, center, rt_stats):
-            def body(state, per_step):
-                i_n, i_o, w_s = per_step
-                xn = jnp.take(Xn, i_n, axis=0)
-                ln = jnp.take(Ln, i_n, axis=0)
-                xo = jnp.take(Xo, i_o, axis=0) if has_oe else None
-                lo = jnp.take(Lo, i_o, axis=0) if has_oe else None
-                return core(state, xn, ln, xo, lo, w_s, key, center, rt_stats)
+        def train_step(state, Xn, Ln, Xo, Lo, i_n, i_o, w_s, key, center, rt_stats):
+            xn = jnp.take(Xn, i_n, axis=0)
+            ln = jnp.take(Ln, i_n, axis=0)
+            xo = jnp.take(Xo, i_o, axis=0) if has_oe else None
+            lo = jnp.take(Lo, i_o, axis=0) if has_oe else None
+            return core(state, xn, ln, xo, lo, w_s, key, center, rt_stats)
 
-            dummy = jnp.zeros((idx_n.shape[0], 1), jnp.int32)
-            state, outs = jax.lax.scan(body, state,
-                                       (idx_n, idx_o if has_oe else dummy, w))
-            return state, outs
+        if scan_ok():
+            def train_epoch(state, Xn, Ln, Xo, Lo, idx_n, idx_o, w, key, center, rt_stats):
+                def body(state, per_step):
+                    i_n, i_o, w_s = per_step
+                    return train_step(state, Xn, Ln, Xo, Lo, i_n, i_o, w_s, key,
+                                      center, rt_stats)
 
-        # seeds on axis 0 of (state, plans, keys); the data arrays are shared
-        return jax.jit(jax.vmap(
-            train_epoch,
-            in_axes=(0, None, None, None, None, 0, 0, 0, 0, None, None)))
+                dummy = jnp.zeros((idx_n.shape[0], 1), jnp.int32)
+                state, outs = jax.lax.scan(body, state,
+                                           (idx_n, idx_o if has_oe else dummy, w))
+                return state, outs
+
+            # seeds on axis 0 of (state, plans, keys); the data arrays are shared
+            return jax.jit(jax.vmap(
+                train_epoch,
+                in_axes=(0, None, None, None, None, 0, 0, 0, 0, None, None)))
+
+        # CPU fallback: per-step dispatch of the vmapped core (see scan_ok)
+        step_vmapped = jax.jit(jax.vmap(
+            train_step, in_axes=(0, None, None, None, None, 0, 0, 0, 0, None, None)))
+
+        def epoch_loop(states, Xn, Ln, Xo, Lo, idx_n, idx_o, w, keys, center, rt_stats):
+            outs = []
+            for s in range(idx_n.shape[1]):
+                states, out = step_vmapped(states, Xn, Ln, Xo, Lo, idx_n[:, s],
+                                           idx_o[:, s], w[:, s], keys, center, rt_stats)
+                outs.append(out)
+            # stack on a step axis to match the scan output layout
+            last = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs, axis=1), *outs)
+            return states, last
+
+        return epoch_loop
 
     epoch_vmapped = trainer._cached(
         ("vmap_seeds", type(ds).__name__, has_oe, tuple(Xn.shape[1:]), B, steps,
