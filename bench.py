@@ -121,6 +121,19 @@ def main():
         with open(baseline_file) as f:
             rec = json.load(f)
         base = rec.get(rec_key)
+    if base is None and rec_key == "clip":
+        # fresh machine: fall back to the earliest recorded round's headline
+        # run so vs_baseline keeps measuring progress since round 1
+        import glob
+        for rfile in sorted(glob.glob(pt.join(pt.dirname(pt.abspath(__file__)), "BENCH_r*.json"))):
+            try:
+                with open(rfile) as f:
+                    v = json.load(f).get("parsed", {}).get("value")
+                if v and np.isfinite(v):
+                    base = float(v)
+                    break
+            except Exception:
+                continue
     if (base is None or not np.isfinite(base)) and np.isfinite(ips_chip):
         rec = {} if not pt.exists(baseline_file) else json.load(open(baseline_file))
         rec[rec_key] = ips_chip

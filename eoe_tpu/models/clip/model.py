@@ -104,12 +104,35 @@ class MultiHeadAttention(nn.Module):
         n, s, d = x.shape
         hd = d // self.heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        if self.attention_fn is None:
+            from eoe_tpu.ops.attention import fused_qkv_attention, fused_qkv_ok
+            if fused_qkv_ok(n, s, self.heads, hd):
+                # Pallas fused path: consumes the un-transposed joint
+                # projection; `mask`, when present, is always CLIP's causal
+                # text mask (model.py:324-330), passed as a flag
+                attn = fused_qkv_attention(qkv, self.heads, mask is not None)
+                return nn.Dense(d, dtype=self.dtype, name="attn_out")(attn)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
-        k = k.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
-        v = v.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
-        attn = (self.attention_fn or default_attention)(q, k, v, mask)
-        attn = attn.transpose(0, 2, 1, 3).reshape(n, s, d)
+        if self.attention_fn is None:
+            # head axis stays in place (n, s, h, hd) and the batched dots
+            # carry (n, h) as dot_general batch dims — materialized (0,2,1,3)
+            # transposes cost ~25 layout copies per ViT-B step on TPU
+            # (measured ~12ms/step of pure copy time; see PARITY.md roofline)
+            q = q.reshape(n, s, self.heads, hd)
+            k = k.reshape(n, s, self.heads, hd)
+            v = v.reshape(n, s, self.heads, hd)
+            logits = jnp.einsum("nqhd,nkhd->nhqk", q, k,
+                                preferred_element_type=jnp.float32) * (hd ** -0.5)
+            if mask is not None:
+                logits = logits + mask
+            probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            attn = jnp.einsum("nhqk,nkhd->nqhd", probs, v).reshape(n, s, d)
+        else:
+            q = q.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
+            k = k.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
+            v = v.reshape(n, s, self.heads, hd).transpose(0, 2, 1, 3)
+            attn = self.attention_fn(q, k, v, mask)
+            attn = attn.transpose(0, 2, 1, 3).reshape(n, s, d)
         return nn.Dense(d, dtype=self.dtype, name="attn_out")(attn)
 
 
@@ -145,6 +168,27 @@ class TransformerStack(nn.Module):
         return x
 
 
+class PatchEmbed(nn.Module):
+    """Non-overlapping patch embedding. The parameter keeps nn.Conv's tree
+    path and HWIO kernel shape (so checkpoint converters are unaffected), but
+    the op is patchify + einsum: a stride=kernel conv IS a matmul, and the
+    GEMM form keeps both the forward and the kernel gradient on the MXU with
+    clean layouts (the conv form cost ~1.5ms/step in fwd+grad on v5e)."""
+    width: int
+    patch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        p = self.patch
+        n, h, w, c = x.shape
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (p, p, c, self.width))
+        x = x.reshape(n, h // p, p, w // p, p, c)
+        return jnp.einsum("nhpwqc,pqcd->nhwd", x.astype(self.dtype),
+                          kernel.astype(self.dtype))
+
+
 class VisionTransformer(nn.Module):
     config: ClipConfig
     attention_fn: Optional[AttentionFn] = None
@@ -154,9 +198,8 @@ class VisionTransformer(nn.Module):
     def __call__(self, x: Array, train: bool = False) -> Array:
         cfg = self.config
         # x: NHWC in the CLIP-normalized range
-        x = nn.Conv(cfg.vision_width, (cfg.vision_patch_size,) * 2,
-                    strides=cfg.vision_patch_size, padding="VALID", use_bias=False,
-                    dtype=self.dtype, name="patch_embed")(x)
+        x = PatchEmbed(cfg.vision_width, cfg.vision_patch_size,
+                       dtype=self.dtype, name="patch_embed")(x)
         n, gh, gw, w = x.shape
         x = x.reshape(n, gh * gw, w)
         cls_tok = self.param("class_embedding", nn.initializers.normal(w ** -0.5), (w,))

@@ -632,7 +632,7 @@ class Trainer:
             epoch_fn = self._cached(
                 ("scan", type(ds).__name__, has_oe, Xn.shape[1:], self.batch_size,
                  steps_per_epoch, chunk),
-                lambda: self.make_train_epoch_resident(ds, tx, has_oe))
+                lambda: self.make_train_epoch_resident(ds, tx, has_oe, chunk))
         else:
             Ln_all = normal_ds.binary_targets(train_set)
             Lo_all = ds.oe.binary_targets(oe_set) if has_oe else None
@@ -642,27 +642,55 @@ class Trainer:
 
         cls_roc = None
         epoch_key = jax.random.fold_in(key, 2)
+        plans_d = None
+        plans_base = start_epoch
+        if resident and self.epochs > start_epoch:
+            # pre-sample every epoch's index plan and ship it as ONE packed
+            # int32 upload: host->device transfers have a fixed ~40ms latency
+            # on tunneled chips, and 3 uploads/epoch dominated the gap between
+            # device-busy time and wall time (w is a {0,1} mask -> int-exact)
+            packed = []
+            for _ in range(start_epoch, self.epochs):
+                e_idx_n, e_idx_o, e_w = sampler.epoch()
+                packed.append(np.stack([
+                    e_idx_n.astype(np.int32),
+                    (e_idx_o if has_oe else np.zeros_like(e_idx_n)).astype(np.int32),
+                    e_w.astype(np.int32)], axis=0))
+            all_plans = np.concatenate(packed, axis=1)  # (3, E*steps, B)
+            if all_plans.nbytes <= 64 * 2 ** 20:
+                plans_d = jnp.asarray(all_plans)
+                # chunk starts as a device array: a fresh host scalar per
+                # dispatch would pay the upload latency all over again
+                starts_d = jnp.arange(0, all_plans.shape[1], chunk, dtype=jnp.int32)
+            else:  # huge grids: upload per epoch, still packed
+                plans_per_epoch = packed
+                starts_d = jnp.arange(0, sampler.steps, chunk, dtype=jnp.int32)
         for ep in range(start_epoch, self.epochs):
             t0 = time.time()
-            idx_n, idx_o, w = sampler.epoch()
+            if not resident:
+                idx_n, idx_o, w = sampler.epoch()
             ekey = jax.random.fold_in(epoch_key, ep)
             if resident:
+                if plans_d is None:
+                    ep_plan = jnp.asarray(plans_per_epoch[ep - plans_base])
+                    chunk0 = 0
+                else:
+                    ep_plan = plans_d
+                    chunk0 = (ep - plans_base) * (sampler.steps // chunk)
                 n_chunks = sampler.steps // chunk
-                idx_n_d = jnp.asarray(idx_n).reshape(n_chunks, chunk, -1)
-                idx_o_d = (jnp.asarray(idx_o).reshape(n_chunks, chunk, -1)
-                           if has_oe else None)
-                w_d = jnp.asarray(w).reshape(n_chunks, chunk, -1)
                 outs = []
                 for c in range(n_chunks):
                     state, out = epoch_fn(
-                        state, Xn, Ln, Xo, Lo, idx_n_d[c],
-                        idx_o_d[c] if has_oe else None, w_d[c], ekey, center, rt_stats)
+                        state, Xn, Ln, Xo, Lo, ep_plan,
+                        starts_d[chunk0 + c], ekey, center, rt_stats)
                     outs.append(out)
-                outs = [jax.tree_util.tree_map(np.asarray, o) for o in outs]
-                ep_losses = np.concatenate([o[0] for o in outs])
-                ep_scores = np.concatenate([o[1] for o in outs]).reshape(-1)
-                ep_labels = np.concatenate([o[2] for o in outs]).reshape(-1)
-                ep_weights = np.concatenate([o[3] for o in outs]).reshape(-1)
+                outs = [np.asarray(o) for o in outs]  # one download per chunk
+                arr = np.concatenate(outs, axis=0)    # (steps, 1 + 3L)
+                L = (arr.shape[1] - 1) // 3
+                ep_losses = arr[:, 0]
+                ep_scores = arr[:, 1:1 + L].reshape(-1)
+                ep_labels = arr[:, 1 + L:1 + 2 * L].reshape(-1).astype(np.int64)
+                ep_weights = arr[:, 1 + 2 * L:].reshape(-1)
             else:
                 outs = []
                 for s in range(sampler.steps):
@@ -702,11 +730,18 @@ class Trainer:
 
         return state, cls_roc
 
-    def make_train_epoch_resident(self, ds, tx, has_oe: bool):
+    def make_train_epoch_resident(self, ds, tx, has_oe: bool, chunk: int):
         core = self._train_step_core(ds, tx, has_oe)
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def epoch(state, Xn, Ln, Xo, Lo, idx_n, idx_o, w, key, center, rt_stats):
+        @partial(jax.jit, donate_argnums=(0,), static_argnums=())
+        def epoch(state, Xn, Ln, Xo, Lo, plans, start, key, center, rt_stats):
+            # plans: (3, total_steps, B) int32 — [normal idx, oe idx, weight];
+            # slice this dispatch's chunk on device (the full plan is uploaded
+            # once per class-seed run, not per epoch)
+            B = plans.shape[2]
+            blk = jax.lax.dynamic_slice(plans, (0, start, 0), (3, chunk, B))
+            idx_n, idx_o, w = blk[0], blk[1], blk[2].astype(jnp.float32)
+
             def body(state, per_step):
                 i_n, i_o, w_s = per_step
                 xn = jnp.take(Xn, i_n, axis=0)
@@ -716,10 +751,17 @@ class Trainer:
                 state, out = core(state, xn, ln, xo, lo, w_s, key, center, rt_stats)
                 return state, out
 
-            steps = idx_n.shape[0]
-            dummy = jnp.zeros((steps, 1), jnp.int32)
-            state, outs = jax.lax.scan(body, state, (idx_n, idx_o if has_oe else dummy, w))
-            return state, outs
+            state, (losses, scores, labels, weights) = jax.lax.scan(
+                body, state, (idx_n, idx_o, w))
+            # pack the per-step outputs into ONE f32 array: each distinct
+            # device->host buffer costs a fixed ~30ms latency on tunneled
+            # chips, so the epoch loop downloads one buffer per dispatch
+            out = jnp.concatenate([
+                losses.reshape(chunk, 1),
+                scores.reshape(chunk, -1),
+                labels.reshape(chunk, -1).astype(jnp.float32),
+                weights.reshape(chunk, -1)], axis=1)
+            return state, out
 
         return epoch
 

@@ -48,12 +48,22 @@ def parse_trace(logdir: str, topk: int = 25):
                  if e.get("ph") == "M" and e.get("name") == "process_name"
                  and "args" in e}
     dev_pids = {p for p, n in pid_names.items() if "TPU" in n and "transfer" not in n.lower()}
+    # within a device pid, threads are hierarchical ("XLA Modules" > "Steps" >
+    # "XLA Ops"); only the op thread carries leaf per-op events — counting the
+    # others double-counts every module/step span
+    tid_names = {(e["pid"], e["tid"]): e["args"]["name"] for e in events
+                 if e.get("ph") == "M" and e.get("name") == "thread_name"
+                 and "args" in e and "tid" in e}
+    op_tids = {k for k, n in tid_names.items() if "XLA Ops" in n}
+    if not op_tids:  # fallback: every device thread
+        op_tids = {k for k in tid_names if k[0] in dev_pids}
     op_total = defaultdict(float)
     op_count = defaultdict(int)
     total = 0.0
     tmin, tmax = float("inf"), 0.0
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e
+                and (e["pid"], e.get("tid")) in op_tids):
             name = e["name"]
             op_total[name] += e["dur"]
             op_count[name] += 1
