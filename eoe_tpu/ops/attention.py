@@ -116,7 +116,13 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
 # (S <= 77 makes recompute ~free) and emits d(qkv) in the same layout.
 # ---------------------------------------------------------------------------
 
-MAX_R = 384  # rows (block*s_pad) per grid cell; keeps fwd+bwd VMEM < ~10MB
+import os as _os
+
+# rows (block*s_pad) per grid cell. Larger cells amortize MXU issue overhead
+# but grow the block-diagonal masking waste linearly; on v5e at CLIP ViT-B/32
+# shapes R=128 (2 images/cell) measured best: 4225 img/s vs 4143 (R=384),
+# 3855 (R=512), 3852 (R=64, grid-overhead-bound).
+MAX_R = int(_os.environ.get("EOE_TPU_ATTN_MAX_R", "128"))
 
 
 def _pick_block(n: int, s_pad: int) -> int:

@@ -617,16 +617,14 @@ class Trainer:
             Ln = jnp.asarray(normal_ds.binary_targets(train_set))
             Xo = jnp.asarray(oe_set.gather_all()) if has_oe else None
             Lo = jnp.asarray(ds.oe.binary_targets(oe_set)) if has_oe else None
-            # whole-epoch lax.scan amortizes per-step dispatch — a win for
-            # small models; for ViT-sized models whole-epoch compile time
-            # explodes while dispatch is small next to the ~100ms step, so
-            # large models scan in short chunks (measured on v5e: +9% over
-            # one-step-per-dispatch for CLIP ViT-B/32)
-            n_params = sum(int(np.prod(p.shape))
-                           for p in jax.tree_util.tree_leaves(state.params))
-            use_scan = n_params < 5_000_000
-            chunk = steps_per_epoch if use_scan else next(
-                (c for c in (4, 2, 1) if steps_per_epoch % c == 0), 1)
+            # one lax.scan dispatch per epoch: scan length doesn't change
+            # compile time, and with the index plans pre-uploaded and outputs
+            # packed (below) fewer dispatches also means fewer epoch-array
+            # relayout copies and device->host round trips (whole-epoch
+            # measured +2% over 4-step chunks for CLIP ViT-B/32 on v5e;
+            # EOE_TPU_CHUNK overrides for experiments)
+            chunk = (int(os.environ.get("EOE_TPU_CHUNK", "0"))
+                     or steps_per_epoch)
             # steps_per_epoch is part of the key: the LR schedule baked into tx
             # depends on it (milestone boundaries are epoch*steps)
             epoch_fn = self._cached(
