@@ -789,20 +789,46 @@ class Trainer:
                                rowheaders=[f"{k}: {v}" for k, v in
                                            sorted(stats_counts.items())])
 
-        # async eval: dispatch all batches, sync once at the end (per-batch
-        # np.asarray would serialize host<->device round trips)
-        outs = []
-        for i in range(0, n, B):
-            pos = np.arange(i, min(i + B, n))
-            x = test_set.gather(pos)
-            lb = labels[pos]
-            if len(pos) < B:  # pad to the compiled batch shape, then slice off
-                pad = B - len(pos)
-                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-                lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
-            outs.append(eval_fn(state, jnp.asarray(x), jnp.asarray(lb),
-                                self.center, rt_stats))
-        scores = np.concatenate([np.asarray(o) for o in outs])[:n]
+        # async eval: dispatch all batches, sync once at the end. Per-batch
+        # host work is minimized for tunneled chips (fixed ~40ms up / ~30ms
+        # down per transfer): resident test sets upload ONCE and batches are
+        # device-side slices; scores concatenate on device -> one download.
+        steps = -(-n // B)
+        total = steps * B
+        if _is_resident(test_set):
+            cached = getattr(test_set, "_eval_device_cache", None)
+            if cached is None or cached[0] != total:
+                X = np.asarray(test_set.gather_all())
+                if total > n:  # pad to the compiled batch shape, slice off below
+                    X = np.concatenate([X, np.repeat(X[-1:], total - n, axis=0)])
+                # cache the device copy on the subset: the test split is
+                # re-evaluated once per seed (and its images once per class),
+                # and each upload pays the full host->device transfer cost
+                test_set._eval_device_cache = (total, jnp.asarray(X))
+                cached = test_set._eval_device_cache
+            X_d = cached[1]
+            lb_all = labels
+            if total > n:
+                lb_all = np.concatenate([labels, np.repeat(labels[-1:], total - n)])
+            lb_d = jnp.asarray(lb_all)
+            outs = [eval_fn(state, jax.lax.slice_in_dim(X_d, i, i + B),
+                            jax.lax.slice_in_dim(lb_d, i, i + B),
+                            self.center, rt_stats)
+                    for i in range(0, total, B)]
+        else:
+            outs = []
+            for i in range(0, n, B):
+                pos = np.arange(i, min(i + B, n))
+                x = test_set.gather(pos)
+                lb = labels[pos]
+                if len(pos) < B:
+                    pad = B - len(pos)
+                    x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                    lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
+                outs.append(eval_fn(state, jnp.asarray(x), jnp.asarray(lb),
+                                    self.center, rt_stats))
+        scores = np.asarray(jnp.concatenate(outs))[:n] if len(outs) > 1 \
+            else np.asarray(outs[0])[:n]
 
         keep = labels >= 0  # 'unlabeled' filtering (ad_trainer.py:517-521)
         if (labels == 0).sum() > 0 and (labels == 1).sum() > 0:
