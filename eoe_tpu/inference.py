@@ -59,9 +59,13 @@ class AnomalyScorer:
         stats = DatasetStats.from_json(payload.get("ds_statistics") or None)
         self._pipeline = compile_pipeline(specs, stats)
 
-        # snapshot trees restore as plain dicts; shapes must match the model
+        # snapshot trees restore as plain dicts; shapes must match the model.
+        # eval_shape builds the target tree structure without compiling or
+        # running the forward — snapshot loading stays sub-second even for
+        # ViT-sized models on a remote chip
         sample = jnp.zeros((1, *self._infer_raw_shape(specs, setup)), jnp.float32)
-        init = self.model.init(jax.random.key(0), sample, train=False)
+        init = jax.eval_shape(
+            lambda: self.model.init(jax.random.key(0), sample, train=False))
         self.params = serialization.from_state_dict(init["params"], payload["params"])
         self.batch_stats = serialization.from_state_dict(
             init.get("batch_stats", {}), payload.get("batch_stats", {}) or {})
@@ -103,4 +107,7 @@ class AnomalyScorer:
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], B - len(chunk), axis=0)])
             outs.append(self._jit_score(jnp.asarray(chunk)))
-        return np.concatenate([np.asarray(o) for o in outs])[:n]
+        # concatenate on device: one download instead of one per batch
+        # (device->host transfers have fixed latency on tunneled chips)
+        out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+        return np.asarray(out)[:n]
