@@ -68,7 +68,15 @@ class ClipTrainer(Trainer):
             config = config_from_state_dict(sd)
             variables = to_flax(sd)
         self._clip_variables = variables
-        clip_model = CLIP(config, dtype=compute_dtype)
+        # Multi-chip meshes force the plain attention path: the fused Pallas
+        # kernel is an opaque custom call GSPMD cannot partition (it would
+        # de-shard the batch / break the Megatron head split), while einsum
+        # attention shards natively on both the data and head axes.
+        attention_fn = None
+        if kwargs.get("mesh") is not None:
+            from eoe_tpu.models.clip.model import default_attention
+            attention_fn = default_attention
+        clip_model = CLIP(config, dtype=compute_dtype, attention_fn=attention_fn)
         # the RAW spec inputs are what setup.json must record: load_setup
         # compares the runner's specs against the logged ones, and the
         # resolution rewrite below is deterministic from the raw form

@@ -54,3 +54,50 @@ def test_clip_with_flash_attention(rng):
     a = m_ref.apply(variables, x)
     b = m_flash.apply(variables, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+# ---------------------------------------------------------------- fused QKV
+
+
+def _ref_from_qkv(qkv, n, s, h, d, mask):
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    f = lambda t: t.reshape(n, s, h, d).transpose(0, 2, 1, 3)
+    out = default_attention(f(q), f(k), f(v), mask)
+    return out.transpose(0, 2, 1, 3).reshape(n, s, h * d)
+
+
+@pytest.mark.parametrize("cfg", [
+    (2, 18, 2, 64, False),   # head-pair path (d=64)
+    (3, 50, 4, 64, False),   # ViT-B/32-like shapes
+    (2, 21, 2, 64, True),    # causal (text encoder)
+    (2, 10, 2, 128, True),   # aligned single-head path (d=128)
+])
+def test_fused_qkv_matches_reference(rng, cfg):
+    from eoe_tpu.ops.attention import fused_qkv_attention
+    n, s, h, d, causal = cfg
+    D = h * d
+    qkv = jnp.asarray(rng.normal(0, 1, (n, s, 3 * D)), jnp.float32)
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1) if causal else None
+    ref = _ref_from_qkv(qkv, n, s, h, d, mask)
+    out = fused_qkv_attention(qkv, h, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_qkv_gradients_match(rng):
+    from eoe_tpu.ops.attention import fused_qkv_attention
+    n, s, h, d, causal = 2, 21, 2, 64, True
+    D = h * d
+    qkv = jnp.asarray(rng.normal(0, 1, (n, s, 3 * D)), jnp.float32)
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1)
+    g = jnp.asarray(rng.normal(0, 1, (n, s, D)), jnp.float32)
+    g_fused = jax.grad(lambda x: (fused_qkv_attention(x, h, causal) * g).sum())(qkv)
+    g_ref = jax.grad(lambda x: (_ref_from_qkv(x, n, s, h, d, mask) * g).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=1e-4)
+
+
+def test_fused_qkv_gate():
+    """The fused kernel must not engage off-TPU, under a CPU default-device
+    context, on unaligned head dims, or when explicitly disabled — those
+    paths fall back to the GSPMD-partitionable einsum attention."""
+    from eoe_tpu.ops.attention import fused_qkv_ok
+    assert not fused_qkv_ok(4, 50, 12, 64)  # tests run on the CPU backend
