@@ -138,6 +138,22 @@ class VmappedEvaluator:
         test_labels = normal_ds.binary_targets(test_set)
         rt_stats = trainer._rt_stats(ds)
 
+        # upload the padded test split ONCE for the whole population (the
+        # pinned evolve dataset is resident); per-batch gather+upload and a
+        # blocking download per batch would pay the fixed tunnel transfer
+        # latency K*steps times per generation
+        B = trainer.batch_size
+        nt = len(test_set)
+        steps_t = -(-nt // B)
+        Xt = np.asarray(test_set.gather_all())
+        lbt = test_labels
+        if steps_t * B > nt:
+            pad = steps_t * B - nt
+            Xt = np.concatenate([Xt, np.repeat(Xt[-1:], pad, axis=0)])
+            lbt = np.concatenate([test_labels, np.repeat(test_labels[-1:], pad)])
+        Xt_d = jnp.asarray(Xt)
+        lbt_d = jnp.asarray(lbt)
+
         # per-candidate OE images: (K, oesize, h, w, c)
         def oe_images(ind):
             return oeds.source.gather(valid[np.asarray(list(ind), np.int64) % len(valid)])
@@ -186,20 +202,15 @@ class VmappedEvaluator:
                     states, _ = self._train_fn(
                         states, Xn, Ln, Xo, idx_n, idx_o, wj,
                         keys, trainer.center, rt_stats)
-                # vmapped eval over shared test batches
-                B = trainer.batch_size
-                scores = np.empty((k, len(test_set)), np.float32)
-                for i in range(0, len(test_set), B):
-                    pos = np.arange(i, min(i + B, len(test_set)))
-                    x = test_set.gather(pos)
-                    lb = test_labels[pos]
-                    if len(pos) < B:
-                        pad = B - len(pos)
-                        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-                        lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
-                    out = self._eval_fn(states, jnp.asarray(x), jnp.asarray(lb),
-                                        trainer.center, rt_stats)
-                    scores[:, pos] = np.asarray(out)[:, : len(pos)]
+                # vmapped eval over shared device-resident test batches;
+                # scores concatenate on device -> one download per chunk
+                outs = [self._eval_fn(states,
+                                      jax.lax.slice_in_dim(Xt_d, i, i + B),
+                                      jax.lax.slice_in_dim(lbt_d, i, i + B),
+                                      trainer.center, rt_stats)
+                        for i in range(0, steps_t * B, B)]
+                scores = np.asarray(jnp.concatenate(outs, axis=1)
+                                    if len(outs) > 1 else outs[0])[:, :nt]
                 keep = test_labels >= 0
                 aucs = jax.vmap(lambda s: auroc_jax(
                     jnp.asarray(test_labels[keep]), jnp.asarray(s[..., keep])))(

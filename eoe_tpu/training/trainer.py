@@ -700,7 +700,10 @@ class Trainer:
                     else:
                         xo = lo = None
                     state, out = step_fn(state, xn, ln, xo, lo, jnp.asarray(w[s]), ekey, center, rt_stats)
-                    outs.append(jax.tree_util.tree_map(np.asarray, out))
+                    outs.append(out)  # keep on device: a per-step np.asarray
+                    # would block each step on the download round trip and
+                    # destroy host/device pipelining
+                outs = [jax.tree_util.tree_map(np.asarray, o) for o in outs]
                 ep_losses = np.asarray([o[0] for o in outs])
                 ep_scores = np.concatenate([o[1] for o in outs])
                 ep_labels = np.concatenate([o[2] for o in outs])

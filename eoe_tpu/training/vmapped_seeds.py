@@ -105,13 +105,29 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
         ("vmap_seeds", type(ds).__name__, has_oe, tuple(Xn.shape[1:]), B, steps,
          n_seeds), build_epoch_vmapped)
 
+    # pre-sample every epoch's per-seed index plans and pack them into as few
+    # uploads as possible (fixed per-transfer latency on tunneled chips; the
+    # weight mask is {0,1} -> int-exact). One upload for the whole run when it
+    # fits in 64MB, one per epoch otherwise.
+    def pack_epoch():
+        plans = [s.epoch() for s in samplers]
+        return np.stack([
+            np.stack([p[0] for p in plans]).astype(np.int32),
+            (np.stack([p[1] for p in plans]).astype(np.int32) if has_oe
+             else np.zeros((n_seeds, steps, B), np.int32)),
+            np.stack([p[2] for p in plans]).astype(np.int32)])
+
+    per_epoch = [pack_epoch() for _ in range(trainer.epochs)]
+    all_plans = np.stack(per_epoch) if per_epoch else None
+    plans_d = (jnp.asarray(all_plans)
+               if all_plans is not None and all_plans.nbytes <= 64 * 2 ** 20 else None)
+
     last = None
     for ep in range(trainer.epochs):
-        plans = [s.epoch() for s in samplers]
-        idx_n = jnp.asarray(np.stack([p[0] for p in plans]))
-        idx_o = (jnp.asarray(np.stack([p[1] for p in plans])) if has_oe
-                 else jnp.zeros((n_seeds, steps, 1), jnp.int32))
-        w = jnp.asarray(np.stack([p[2] for p in plans]), jnp.float32)
+        plan = plans_d[ep] if plans_d is not None else jnp.asarray(per_epoch[ep])
+        idx_n = plan[0]
+        idx_o = plan[1] if has_oe else plan[1][:, :, :1]
+        w = plan[2].astype(jnp.float32)
         ekeys = jnp.stack([jax.random.fold_in(jax.random.fold_in(k, 2), ep)
                            for k in keys])
         states, last = epoch_vmapped(states, Xn, Ln, Xo, Lo, idx_n, idx_o, w,
