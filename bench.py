@@ -10,7 +10,8 @@ against the first recorded run in .bench_baseline.json (1.0 on the first run).
 Weights are randomly initialized (no egress for the OpenAI checkpoint);
 throughput is weight-independent.
 
-EOE_TPU_BENCH_MODEL=cnn32 switches to the CIFAR-scale CNN32 benchmark.
+EOE_TPU_BENCH_MODEL=cnn32 switches to the CIFAR-scale CNN32 benchmark;
+EOE_TPU_BENCH_MODEL=wrn to WideResNet+CBAM at 224 (the ImageNet-30 config).
 EOE_TPU_BENCH_MESH=N trains over an N-device data-parallel mesh and reports
 per-chip throughput (on the single-TPU session this is exercised with
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N to
@@ -42,6 +43,15 @@ def build_trainer(model_kind: str, logger, mesh=None):
                        {"op": "clip_pil_preprocessing"},
                        {"op": "clip_tensor_preprocessing"}]
         test_specs = [{"op": "clip_pil_preprocessing"}, {"op": "clip_tensor_preprocessing"}]
+        compute_dtype = jnp.bfloat16
+    elif model_kind == "wrn":
+        # the ImageNet-30 acceptance config's model (WideResNet+CBAM @224,
+        # train_imagenet.py defaults) on synthetic data
+        from eoe_tpu.models.resnet import WideResNet
+        model = WideResNet()
+        HW, N, B, epochs = 224, 2048, 128, 6
+        train_specs = [{"op": "random_hflip"}, "normalize"]
+        test_specs = ["normalize"]
         compute_dtype = jnp.bfloat16
     else:
         from eoe_tpu.models.cnn import CNN32
@@ -110,7 +120,7 @@ def main():
     steady = trainer.epoch_rates[2:] or trainer.epoch_rates[-1:]
     ips_chip = float(np.median(steady)) / max(n_chips, 1)
 
-    name = "CLIP ViT-B/32" if model_kind == "clip" else "CNN32"
+    name = {"clip": "CLIP ViT-B/32", "wrn": "WideResNet+CBAM@224"}.get(model_kind, "CNN32")
     # baseline records are per-backend and per-mesh so CPU scaling runs never
     # pollute the TPU headline baseline
     rec_key = model_kind + (f"@mesh{mesh_n}" if mesh is not None else "") \
