@@ -69,6 +69,13 @@ class DataSource:
         """Whether the whole source can be cheaply device-put (array-backed)."""
         return False
 
+    def fits_resident(self, n_items: int) -> bool:
+        """Whether a SUBSET of n_items may be materialized once (gather_all)
+        and trained on the device-resident fast path. Streaming sources
+        return False; cached folder sources accept subsets within their RAM
+        budget — decoding once per class-seed beats per-step streaming."""
+        return self.resident
+
 
 class ArraySource(DataSource):
     def __init__(self, images: np.ndarray, targets: np.ndarray):

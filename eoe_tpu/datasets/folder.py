@@ -78,16 +78,25 @@ class FolderSource(DataSource):
     """Random-access source over image files with threaded decode and a
     byte-budgeted RAM cache of decoded (already resized) images."""
 
+    # default decoded-image RAM budget per source when the constructor does
+    # not choose one (EOE_TPU_FOLDER_CACHE_MB overrides; 0 disables). On a
+    # weak host the decode is the bottleneck — one CPU decodes ~200 224^2
+    # JPEGs/s while the chip trains ~4k img/s — so epochs after the first
+    # should hit RAM, like the reference's shm cache server (experiments/
+    # caching/) but without a separate process.
+    DEFAULT_CACHE_BYTES = int(os.environ.get("EOE_TPU_FOLDER_CACHE_MB", "2048")) << 20
+
     def __init__(self, paths: Sequence[str], targets: np.ndarray,
                  raw_shape: Tuple[int, int, int], logger=None,
-                 cache_bytes: int = 0, workers: int = 16,
+                 cache_bytes: Optional[int] = None, workers: int = 16,
                  sample_keys: Optional[Sequence[str]] = None,
                  shm_prefix: Optional[str] = None):
         self.paths = list(paths)
         self.targets = np.asarray(targets, dtype=np.int64)
         self._raw_shape = tuple(raw_shape)
         self.logger = logger
-        self.cache_bytes = cache_bytes
+        self.cache_bytes = (self.DEFAULT_CACHE_BYTES if cache_bytes is None
+                            else cache_bytes)
         self.workers = workers
         self._cache: Dict[int, np.ndarray] = {}
         self._cache_used = 0
@@ -138,8 +147,40 @@ class FolderSource(DataSource):
             self._cache_used += arr.nbytes
         return arr
 
+    def fits_resident(self, n_items: int) -> bool:
+        """Subsets within the RAM budget may train on the device-resident
+        path: the trainer gathers them ONCE per class-seed (native batch
+        decode) instead of streaming per step — decisive when per-step
+        host->device feeding pays fixed RPC latency (tunneled chips)."""
+        return int(n_items) * int(np.prod(self._raw_shape)) <= self.cache_bytes
+
     def gather(self, indices: np.ndarray) -> np.ndarray:
         indices = np.asarray(indices)
+        if self.shm_prefix is None and len(indices) >= 2 and self.cache_bytes:
+            # cache-aware batch path: decode only the uncached indices — in
+            # one native C++ call when possible — and remember them
+            uniq = [int(i) for i in dict.fromkeys(indices.tolist())]
+            missing = [i for i in uniq if i not in self._cache]
+            extra = {}
+
+            def keep(i, arr):
+                if self._cache_used + arr.nbytes <= self.cache_bytes:
+                    self._cache[i] = arr
+                    self._cache_used += arr.nbytes
+                else:
+                    extra[i] = arr
+
+            got = self._gather_native(np.asarray(missing)) if len(missing) >= 2 else None
+            if got is not None:
+                for i, arr in zip(missing, got):
+                    keep(i, arr)
+            elif missing:  # native unavailable / single index: threaded PIL
+                with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                    for i, arr in zip(missing, pool.map(self._decode_one, missing)):
+                        if i not in self._cache:
+                            extra[i] = arr
+            return np.stack([self._cache[int(i)] if int(i) in self._cache
+                             else extra[int(i)] for i in indices])
         native = self._gather_native(indices)
         if native is not None:
             return native
@@ -152,9 +193,9 @@ class FolderSource(DataSource):
     def _gather_native(self, indices: np.ndarray) -> Optional[np.ndarray]:
         """C++ batch decode (eoe_tpu.native.loader): threaded libjpeg/libpng
         decode + fused resize in one call, no GIL. Falls back to the PIL path
-        per failed image; disabled when a RAM/shm cache is in play (those hit
-        the caches per image)."""
-        if self.cache_bytes or self.shm_prefix is not None or len(indices) < 2:
+        per failed image; bypassed for shm-server-backed sources (those hit
+        the server's blocks per image)."""
+        if self.shm_prefix is not None or len(indices) < 2:
             return None
         from eoe_tpu import native
         out, status = native.decode_batch_with_status(

@@ -97,6 +97,12 @@ def default_argsparse(modify_descr: Callable[[str], str],
                              "continues into {old_dir}---CNTD.")
     parser.add_argument("--comment", type=str, default="")
     parser.add_argument("--superdir", type=str, default=".")
+    parser.add_argument("--compute-dtype", type=str, default=None,
+                        choices=("float32", "bfloat16"),
+                        help="Matmul/conv compute precision on device. Defaults to "
+                             "bfloat16 for the CLIP objective (the reference trains "
+                             "CLIP in fp16, clip.py:73-117) and float32 otherwise "
+                             "(the reference trains the from-scratch models in fp32).")
     parser.add_argument("--datapath", type=str, default=None,
                         help="Data root (default: $EOE_TPU_DATAPATH or ./data).")
     parser.add_argument("--vmap-seeds", action="store_true",
@@ -222,6 +228,10 @@ def create_trainer(trainer: str, comment: str, dataset: str, oe_dataset: Optiona
                    oe_limit_classes: Union[int, float] = INF,
                    msm: Sequence[MSM] = (), logpath: str = None, **kwargs) -> Trainer:
     """Build the trainer + logger (parity: main/__init__.py:280-317)."""
+    import jax.numpy as jnp
+    dtype_name = kwargs.pop("compute_dtype", None) or (
+        "bfloat16" if trainer == "clip" else "float32")
+    kwargs["compute_dtype"] = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     datapath = kwargs.pop("dataset_path", None) or default_datapath()
     superdir = kwargs.pop("superdir", ".")
     continue_run = kwargs.pop("continue_run", None)
@@ -439,7 +449,8 @@ def run_default_training(args: Namespace, model, train_specs, test_specs):
         args.learning_rate, args.weight_decay, args.milestones, args.batch_size,
         args.ad_mode, args.devices, model, train_specs, test_specs,
         oe_limit_samples=args.oe_size, continue_run=continue_run,
-        superdir=args.superdir, dataset_path=args.datapath)
+        superdir=args.superdir, dataset_path=args.datapath,
+        compute_dtype=getattr(args, "compute_dtype", None))
     return trainer.run(args.classes, args.iterations, snapshots,
                        vmap_seeds=getattr(args, 'vmap_seeds', False))
 
@@ -489,6 +500,7 @@ def load_setup(path: Optional[str], args: Namespace, check_train_specs,
     args.ms_mode = [MSM.load(m) for m in msms] if msms else []
     args.classes = run_meta.get("run_classes", getattr(args, "classes", None))
     args.iterations = run_meta.get("run_seeds", getattr(args, "iterations", 1))
+    args.compute_dtype = setup.pop("compute_dtype", None)
     for known in ("model", "datapath", "oe_limit_classes", "seed", "nominal_label"):
         setup.pop(known, None)
     assert len(setup) == 0, f"There are unexpected arguments in the loaded setup: {setup.keys()}."

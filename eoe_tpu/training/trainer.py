@@ -97,7 +97,8 @@ class TrainState(struct.PyTreeNode):
 
 
 def _is_resident(subset: Subset) -> bool:
-    return subset is not None and subset.source.resident
+    return subset is not None and (subset.source.resident
+                                   or subset.source.fits_resident(len(subset)))
 
 
 class Trainer:
@@ -169,6 +170,7 @@ class Trainer:
             "oe_limit_classes": self.oe_limit_classes,
             "msms": [str(m) for m in self.msms], "seed": self.seed,
             "nominal_label": self.nominal_label,
+            "compute_dtype": np.dtype(self.compute_dtype).name,
         }
 
     def get_nominal_classes(self, cur_class: int) -> List[int]:
@@ -581,7 +583,20 @@ class Trainer:
         start_epoch = 0
         if cur_load is not None:
             state, start_epoch = self.load(cur_load, state)
-        return state, start_epoch
+        return self._commit_state(state), start_epoch
+
+    def _commit_state(self, state: TrainState) -> TrainState:
+        """Place every state leaf with an EXPLICIT device/sharding. Fresh
+        init/load states carry uncommitted leaves (host constants, msgpack
+        arrays), while the train step's donated output is fully committed —
+        the differing argument signatures made jit compile the epoch program
+        a second time on epoch 2 (minutes for ViT/WRN-sized models). Mesh
+        runs keep their placement as built (tx.init already inherits the TP
+        shardings; forcing a sharding here would re-shard the optimizer
+        state)."""
+        if self.mesh is not None:
+            return state
+        return jax.device_put(state, jax.devices()[0])
 
     # ------------------------------------------------------------- train one cls
 
