@@ -289,3 +289,33 @@ def test_custom_eval_only_unlabeled(tmp_path, rng):
         ADCustomDS.eval_only = False
         ADCustomDS.base_folder = "custom"
         ADCustomDS.classes = []
+
+
+def test_folder_source_subset_resident_promotion(tmp_path):
+    """A folder subset within the RAM budget may ride the device-resident
+    trainer path: fits_resident + batch gather populate the cache so epochs
+    after the first never touch the disk."""
+    from eoe_tpu.datasets.bases import Subset
+    for i in range(6):
+        write_img(str(tmp_path / "a" / f"{i}.png"), color=i * 30)
+    paths, targets, _ = scan_image_folder(str(tmp_path), use_cache=False)
+    src = FolderSource(paths, targets, (8, 8, 3), cache_bytes=1 << 20)
+    sub = Subset(src, np.arange(5))
+    assert src.fits_resident(len(sub))
+    out = sub.gather_all()
+    assert out.shape == (5, 8, 8, 3)
+    np.testing.assert_array_equal(out[3], 90)
+    for p in paths:  # everything cached now: disk can disappear
+        os.remove(p)
+    np.testing.assert_array_equal(sub.gather_all()[3], 90)
+    big = FolderSource(paths, targets, (8, 8, 3), cache_bytes=100)
+    assert not big.fits_resident(5)
+
+
+def test_folder_source_budget_zero_disables_cache(tmp_path):
+    write_img(str(tmp_path / "a" / "0.png"), color=7)
+    paths, targets, _ = scan_image_folder(str(tmp_path), use_cache=False)
+    src = FolderSource(paths, targets, (8, 8, 3), cache_bytes=0)
+    assert not src.fits_resident(1)
+    src.gather(np.array([0]))
+    assert not src._cache

@@ -423,3 +423,27 @@ def test_load_resume_partial_grid(tmp_path):
         r1 = json.load(f)
     assert res["cls_aucs"][0][0] == pytest.approx(r1["eval_cls_rocs"][0][0], abs=1e-9)
     assert res["cls_aucs"][1][0] is not None
+
+
+def test_compute_dtype_flag_and_resume(tmp_path):
+    """--compute-dtype reaches the trainer, lands in setup.json, and --load
+    restores it (CLIP defaults to bfloat16, others to float32)."""
+    import jax.numpy as jnp
+    from eoe_tpu.main import create_trainer, train_cifar
+    from eoe_tpu.models.cnn import CNN32
+
+    t32 = create_trainer("hsc", "c", "cifar10", None, 1, 1e-3, 0.0, [], 8,
+                         "one_vs_rest", None, CNN32(), ["normalize"], ["normalize"],
+                         dataset_path=str(tmp_path), logpath=str(tmp_path / "l1"))
+    assert t32.compute_dtype == jnp.float32
+    assert t32.setup_dict()["compute_dtype"] == "float32"
+    tb = create_trainer("hsc", "c", "cifar10", None, 1, 1e-3, 0.0, [], 8,
+                        "one_vs_rest", None, CNN32(), ["normalize"], ["normalize"],
+                        compute_dtype="bfloat16",
+                        dataset_path=str(tmp_path), logpath=str(tmp_path / "l2"))
+    assert tb.compute_dtype == jnp.bfloat16
+
+    _, res = train_cifar.main(base_args(tmp_path, ["--compute-dtype", "bfloat16"]))
+    assert np.isfinite(res["mean_auc"])
+    setups = glob.glob(str(tmp_path / "**" / "setup.json"), recursive=True)
+    assert any(json.load(open(s)).get("compute_dtype") == "bfloat16" for s in setups)
