@@ -281,6 +281,66 @@ def _qkv_pad(x: jax.Array, s_pad: int) -> jax.Array:
     return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
 
 
+# ---------------------------------------------------------------- SPMD rules
+#
+# pallas_call is an opaque custom call GSPMD cannot partition — without rules
+# a data-parallel mesh would gather the global batch onto every chip. The
+# kernel is embarrassingly parallel over images (cells never mix images from
+# different shards: the block-diagonal bias only spans a cell), so
+# custom_partitioning shards the leading batch dim and runs the kernel
+# per-shard; feature/sequence dims are forced replicated.
+
+
+def _batch_axis(arg_shapes):
+    sh = getattr(arg_shapes[0], "sharding", None)
+    spec = getattr(sh, "spec", None)
+    if spec is None or len(spec) == 0:
+        return None
+    return spec[0]
+
+
+@functools.lru_cache(maxsize=None)
+def _partitioned_call(kind: str, out_feats: int, heads: int, d: int,
+                      s_pad: int, s_real: int, causal: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    kernel = _fused_fwd_kernel if kind == "fwd" else _fused_bwd_kernel
+
+    def impl(*args):
+        n = args[0].shape[0]
+        D = heads * d
+        return _fused_call(kernel, out_feats, list(args), n, s_pad, D, heads,
+                           d, s_real, causal, args[0].dtype)
+
+    f = custom_partitioning(impl)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, PartitionSpec(_batch_axis(arg_shapes), None, None))
+
+    def partition(mesh, arg_shapes, result_shape):
+        batch = _batch_axis(arg_shapes)
+        arg_sh = tuple(NamedSharding(mesh, PartitionSpec(batch, None, None))
+                       for _ in arg_shapes)
+        res_sh = NamedSharding(mesh, PartitionSpec(batch, None, None))
+        return mesh, impl, res_sh, arg_sh
+
+    def propagate(mesh, user_shape):
+        spec = getattr(user_shape.sharding, "spec", None)
+        batch = spec[0] if spec else None
+        return NamedSharding(mesh, PartitionSpec(batch, None, None))
+
+    # batch dim shards; sequence/feature dims must stay whole on each chip
+    # (einsum-like rule for the Shardy partitioner; the callbacks serve the
+    # classic GSPMD path)
+    rule = ("b s f -> b s g" if kind == "fwd" else "b s f, b s g -> b s f")
+    f.def_partition(partition=partition, propagate_user_sharding=propagate,
+                    infer_sharding_from_operands=infer,
+                    sharding_rule=rule,
+                    need_replication_factors=("s", "f", "g"))
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_qkv_attention(qkv: jax.Array, heads: int, causal: bool = False) -> jax.Array:
     """Multi-head self-attention fused over the concatenated projection.
@@ -301,8 +361,7 @@ def _fused_fwd(qkv, heads, causal):
     d = D // heads
     s_pad = _round_up(s, 16)  # bf16 sublane tile
     qkv_p = _qkv_pad(qkv, s_pad)
-    out = _fused_call(_fused_fwd_kernel, D, [qkv_p], n, s_pad, D, heads, d,
-                      s, causal, qkv.dtype)
+    out = _partitioned_call("fwd", D, heads, d, s_pad, s, causal)(qkv_p)
     return out[:, :s, :], (qkv_p,)
 
 
@@ -313,8 +372,7 @@ def _fused_bwd(heads, causal, residuals, g):
     d = D // heads
     s = g.shape[1]
     g_p = _qkv_pad(g, s_pad)
-    dqkv = _fused_call(_fused_bwd_kernel, F, [qkv_p, g_p], n, s_pad, D, heads,
-                       d, s, causal, qkv_p.dtype)
+    dqkv = _partitioned_call("bwd", F, heads, d, s_pad, s, causal)(qkv_p, g_p)
     return (dqkv[:, :s, :],)
 
 

@@ -68,12 +68,14 @@ class ClipTrainer(Trainer):
             config = config_from_state_dict(sd)
             variables = to_flax(sd)
         self._clip_variables = variables
-        # Multi-chip meshes force the plain attention path: the fused Pallas
-        # kernel is an opaque custom call GSPMD cannot partition (it would
-        # de-shard the batch / break the Megatron head split), while einsum
-        # attention shards natively on both the data and head axes.
+        # Tensor-parallel meshes force the plain attention path: the Megatron
+        # rules shard the qkv features (heads) over the model axis, which the
+        # fused kernel cannot consume — einsum attention shards natively on
+        # the head axis. Data-parallel meshes keep the kernel: it carries
+        # custom_partitioning rules for the batch axis (ops/attention.py).
         attention_fn = None
-        if kwargs.get("mesh") is not None:
+        mesh = kwargs.get("mesh")
+        if mesh is not None and mesh.shape.get("model", 1) > 1:
             from eoe_tpu.models.clip.model import default_attention
             attention_fn = default_attention
         clip_model = CLIP(config, dtype=compute_dtype, attention_fn=attention_fn)

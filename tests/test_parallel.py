@@ -157,3 +157,35 @@ def test_batchnorm_global_stats_under_sharding(mesh8):
     sharded = stats(xs)
     for a, b in zip(jax.tree_util.tree_leaves(sharded), jax.tree_util.tree_leaves(ref)):
         np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_fused_attention_partitions_over_data_axis(mesh8):
+    """The fused QKV attention kernel carries custom_partitioning rules:
+    under a data-sharded batch it must run per-shard (no global gather) and
+    reproduce the unsharded forward and gradient exactly."""
+    from jax.sharding import NamedSharding
+    from eoe_tpu.ops.attention import fused_qkv_attention
+
+    rng = np.random.default_rng(0)
+    n, s, h, d = 16, 18, 2, 64
+    D = h * d
+    qkv = jnp.asarray(rng.normal(size=(n, s, 3 * D)), jnp.float32)
+    g = jnp.asarray(rng.normal(size=(n, s, D)), jnp.float32)
+
+    ref = fused_qkv_attention(qkv, h, False)
+    ref_grad = jax.grad(lambda x: (fused_qkv_attention(x, h, False) * g).sum())(qkv)
+
+    batch_sh = NamedSharding(mesh8, P("data", None, None))
+    qkv_sh = jax.device_put(qkv, batch_sh)
+    g_sh = jax.device_put(g, batch_sh)
+
+    fwd = jax.jit(lambda x: fused_qkv_attention(x, h, False),
+                  in_shardings=(batch_sh,))
+    out = fwd(qkv_sh)
+    assert out.sharding.spec[0] == "data", out.sharding
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    grad = jax.jit(jax.grad(lambda x: (fused_qkv_attention(x, h, False)
+                                       * g_sh).sum()),
+                   in_shardings=(batch_sh,))(qkv_sh)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad), atol=1e-4)
