@@ -652,6 +652,16 @@ class Trainer:
             step_fn = self._cached(
                 ("step", type(ds).__name__, has_oe, tuple(ds.raw_shape), self.batch_size, steps_per_epoch),
                 lambda: self.make_train_step(ds, tx, has_oe))
+            # mixed residency (e.g. a resident normal class + a huge streaming
+            # OE pool): resident halves live on device once; their batches are
+            # device-side takes instead of per-step re-uploads
+            Xn_dev = Ln_dev = Xo_dev = Lo_dev = None
+            if _is_resident(train_set):
+                Xn_dev = jnp.asarray(train_set.gather_all())
+                Ln_dev = jnp.asarray(Ln_all)
+            if has_oe and _is_resident(oe_set):
+                Xo_dev = jnp.asarray(oe_set.gather_all())
+                Lo_dev = jnp.asarray(Lo_all)
 
         cls_roc = None
         epoch_key = jax.random.fold_in(key, 2)
@@ -707,11 +717,21 @@ class Trainer:
             else:
                 outs = []
                 for s in range(sampler.steps):
-                    xn = jnp.asarray(train_set.gather(idx_n[s]))
-                    ln = jnp.asarray(Ln_all[idx_n[s]])
+                    if Xn_dev is not None:
+                        pos = jnp.asarray(idx_n[s])
+                        xn = jnp.take(Xn_dev, pos, axis=0)
+                        ln = jnp.take(Ln_dev, pos, axis=0)
+                    else:
+                        xn = jnp.asarray(train_set.gather(idx_n[s]))
+                        ln = jnp.asarray(Ln_all[idx_n[s]])
                     if has_oe:
-                        xo = jnp.asarray(oe_set.gather(idx_o[s]))
-                        lo = jnp.asarray(Lo_all[idx_o[s]])
+                        if Xo_dev is not None:
+                            pos = jnp.asarray(idx_o[s])
+                            xo = jnp.take(Xo_dev, pos, axis=0)
+                            lo = jnp.take(Lo_dev, pos, axis=0)
+                        else:
+                            xo = jnp.asarray(oe_set.gather(idx_o[s]))
+                            lo = jnp.asarray(Lo_all[idx_o[s]])
                     else:
                         xo = lo = None
                     state, out = step_fn(state, xn, ln, xo, lo, jnp.asarray(w[s]), ekey, center, rt_stats)
