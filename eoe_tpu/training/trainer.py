@@ -640,6 +640,8 @@ class Trainer:
             # EOE_TPU_CHUNK overrides for experiments)
             chunk = (int(os.environ.get("EOE_TPU_CHUNK", "0"))
                      or steps_per_epoch)
+            if steps_per_epoch % chunk:
+                chunk = steps_per_epoch  # override must divide the epoch
             # steps_per_epoch is part of the key: the LR schedule baked into tx
             # depends on it (milestone boundaries are epoch*steps)
             epoch_fn = self._cached(

@@ -4,6 +4,11 @@ device-time breakdown (top ops by total duration + category rollup).
 Usage:  python experiments/profile_clip.py [--steps 4] [--logdir /tmp/eoe_prof]
 Writes the raw jax.profiler trace under --logdir and prints the parsed
 summary used for the roofline note in PARITY.md.
+
+Caveat: on long-lived tunneled-TPU sessions the server's op-level profiler
+can degrade (the trace then shows "Steps" events but an empty "XLA Ops"
+thread — "device busy 0.0ms"). A fresh tunnel/session restores it; the
+epoch rates printed alongside stay valid either way.
 """
 
 import argparse
@@ -21,6 +26,10 @@ sys.path.insert(0, pt.dirname(pt.dirname(pt.abspath(__file__))))
 
 
 def run_profiled_epochs(steps: int, logdir: str):
+    import os
+    # profile in 4-step dispatches: single whole-epoch programs can outlive
+    # the profiler's event buffer and yield an empty device trace
+    os.environ.setdefault("EOE_TPU_CHUNK", "4")
     import jax
     import jax.random as jrandom
 
