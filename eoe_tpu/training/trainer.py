@@ -394,15 +394,23 @@ class Trainer:
 
         fwd = self._cached(("center_fwd", type(ds).__name__, tuple(ds.raw_shape), B),
                            lambda: jax.jit(fwd))
+        # resident train sets upload once; batches are device-side slices
+        # (same transfer-latency rationale as eval_cls)
+        X_dev = (jnp.asarray(train_set.gather_all())
+                 if _is_resident(train_set) else None)
         for bi, i in enumerate(range(0, n, B)):
             pos = np.arange(i, min(i + B, n))
-            x = train_set.gather(pos)
             mask = np.ones(B, np.float32)
-            if len(pos) < B:
-                x = np.concatenate([x, np.zeros((B - len(pos), *x.shape[1:]), x.dtype)])
-                mask[len(pos):] = 0.0
+            if X_dev is not None and len(pos) == B:
+                x = jax.lax.slice_in_dim(X_dev, i, i + B)
+            else:
+                x = np.asarray(train_set.gather(pos))
+                if len(pos) < B:
+                    x = np.concatenate([x, np.zeros((B - len(pos), *x.shape[1:]), x.dtype)])
+                    mask[len(pos):] = 0.0
+                x = jnp.asarray(x)
             labels = jnp.full((B,), self.nominal_label)
-            s = fwd(state, jnp.asarray(x, jnp.float32) / 255.0, labels,
+            s = fwd(state, x.astype(jnp.float32) / 255.0, labels,
                     jnp.asarray(mask), jax.random.key(bi), rt_stats)
             feat_sum = s if feat_sum is None else feat_sum + s
             count += len(pos)
