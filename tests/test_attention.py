@@ -101,3 +101,19 @@ def test_fused_qkv_gate():
     paths fall back to the GSPMD-partitionable einsum attention."""
     from eoe_tpu.ops.attention import fused_qkv_ok
     assert not fused_qkv_ok(4, 50, 12, 64)  # tests run on the CPU backend
+
+
+def test_fused_gate_rejects_vmap():
+    """custom_partitioning has no vmap batching rule: the gate must detect a
+    vmapped trace (seed-vmapped grids, vmapped evolution) and fall back."""
+    from eoe_tpu.ops.attention import _is_vmapped
+    seen = []
+
+    def f(x):
+        seen.append(_is_vmapped(x))
+        return x
+
+    jax.vmap(f)(jnp.zeros((2, 3)))
+    assert seen == [True]
+    f(jnp.zeros((3,)))
+    assert seen[-1] is False
