@@ -90,15 +90,10 @@ def main():
         # a sitecustomize may have re-forced the TPU platform; honor the env
         jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: repeat bench runs (and the driver's) skip
-    # the ~4min ViT-B/32 compile. NOT for the CPU backend: the cache may hold
-    # CPU AOT results compiled on a machine with different CPU features (the
-    # remote TPU host), which load as pathologically slow/unsafe executables
-    if jax.default_backend() != "cpu":
-        try:
-            jax.config.update("jax_compilation_cache_dir", "/root/.cache/eoe_tpu_jax")
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-        except Exception:
-            pass
+    # the ~4min ViT-B/32 compile (shared guard: CPU-backend entries are
+    # machine-feature-specific and must not be reused)
+    from eoe_tpu.main import _enable_compile_cache
+    _enable_compile_cache()
     import jax.random as jrandom
 
     from eoe_tpu.utils.logger import Logger

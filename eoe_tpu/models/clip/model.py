@@ -100,17 +100,20 @@ class MultiHeadAttention(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 causal: bool = False) -> Array:
         n, s, d = x.shape
         hd = d // self.heads
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
         if self.attention_fn is None:
             from eoe_tpu.ops.attention import fused_qkv_attention, fused_qkv_ok
-            if fused_qkv_ok(n, s, self.heads, hd):
-                # Pallas fused path: consumes the un-transposed joint
-                # projection; `mask`, when present, is always CLIP's causal
-                # text mask (model.py:324-330), passed as a flag
-                attn = fused_qkv_attention(qkv, self.heads, mask is not None)
+            # Pallas fused path: consumes the un-transposed joint projection.
+            # It only supports no-mask or the standard causal mask — callers
+            # promise causality explicitly via ``causal`` (the text encoder);
+            # any other additive mask takes the general einsum path. Skipped
+            # under vmap (custom_partitioning has no batching rule).
+            if fused_qkv_ok(n, s, self.heads, hd, sample=x) and (mask is None or causal):
+                attn = fused_qkv_attention(qkv, self.heads, causal)
                 return nn.Dense(d, dtype=self.dtype, name="attn_out")(attn)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         if self.attention_fn is None:
@@ -143,10 +146,11 @@ class ResidualAttentionBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 causal: bool = False) -> Array:
         x = x + MultiHeadAttention(self.width, self.heads, self.attention_fn,
-                                   self.dtype,
-                                   name="attn")(LayerNormF32(name="ln_1")(x), mask)
+                                   self.dtype, name="attn")(
+                                       LayerNormF32(name="ln_1")(x), mask, causal)
         h = LayerNormF32(name="ln_2")(x)
         h = nn.Dense(4 * self.width, dtype=self.dtype, name="mlp_up")(h)
         h = nn.Dense(self.width, dtype=self.dtype, name="mlp_down")(quick_gelu(h))
@@ -161,10 +165,11 @@ class TransformerStack(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: Array, mask: Optional[Array] = None) -> Array:
+    def __call__(self, x: Array, mask: Optional[Array] = None,
+                 causal: bool = False) -> Array:
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, self.attention_fn,
-                                       self.dtype, name=f"block{i}")(x, mask)
+                                       self.dtype, name=f"block{i}")(x, mask, causal)
         return x
 
 
@@ -348,7 +353,7 @@ class CLIP(nn.Module):
     def encode_text(self, tokens: Array) -> Array:
         x = self.token_embedding(tokens).astype(self.dtype)
         x = x + self.positional_embedding.astype(x.dtype)
-        x = self.text_transformer(x, self._causal_mask())
+        x = self.text_transformer(x, self._causal_mask(), causal=True)
         x = self.ln_final(x)
         # EOT pooling: the eot token has the highest id in each row (model.py:350)
         eot = jnp.argmax(tokens, axis=-1)

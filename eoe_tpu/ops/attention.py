@@ -379,15 +379,29 @@ def _fused_bwd(heads, causal, residuals, g):
 fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_qkv_ok(n: int, s: int, heads: int, d: int) -> bool:
+def _is_vmapped(x) -> bool:
+    """Whether ``x`` is being traced under jax.vmap. custom_partitioning has
+    no batching rule, so the fused kernel must yield to the einsum path
+    inside vmapped programs (seed-vmapped grids, vmapped evolution)."""
+    try:
+        from jax.interpreters.batching import BatchTracer
+        return isinstance(x, BatchTracer)
+    except Exception:  # pragma: no cover - jax internals moved
+        return type(x).__name__ == "BatchTracer"
+
+
+def fused_qkv_ok(n: int, s: int, heads: int, d: int, sample=None) -> bool:
     """Whether the fused kernel applies: real TPU backend, head dim on a
-    64-lane boundary, sequence within the single-block budget. Returns False
+    64-lane boundary, sequence within the single-block budget, and not under
+    jax.vmap (``sample``: pass a representative traced input). Returns False
     under a CPU ``jax.default_device`` context (e.g. the trainer's CPU-side
     model init) — the einsum path used there builds identical params."""
     import os
     if os.environ.get("EOE_TPU_FUSED_ATTN", "1") != "1":
         return False
     if jax.default_backend() != "tpu":
+        return False
+    if sample is not None and _is_vmapped(sample):
         return False
     dd = getattr(jax.config, "jax_default_device", None)
     if dd is not None and getattr(dd, "platform", None) == "cpu":

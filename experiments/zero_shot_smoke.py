@@ -25,8 +25,11 @@ sys.path.insert(0, pt.dirname(pt.dirname(pt.abspath(__file__))))
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
+    # default matches what eoe_tpu.main.prepare_data emits and what the CLI
+    # runners resolve (default_datapath()/datasets); the path is handed to
+    # ClipTrainer directly, whose loaders expect <datapath>/<ds-subdir>/...
     ap.add_argument("--datapath", default=pt.join(pt.dirname(pt.dirname(
-        pt.abspath(__file__))), "eoe_tpu", "data"))
+        pt.abspath(__file__))), "eoe_tpu", "data", "datasets"))
     ap.add_argument("--dataset", default="cifar10", choices=["cifar10", "imagenet30"])
     ap.add_argument("--classes", type=int, nargs="+", default=None)
     ap.add_argument("--logpath", default="/tmp/eoe_tpu_zeroshot")
@@ -39,10 +42,14 @@ def main(argv=None):
         print("SKIP: no CLIP checkpoint (set EOE_TPU_CLIP_CHECKPOINT or place "
               "the OpenAI ViT-B/32 weights at ~/.cache/clip/ViT-B-32.pt)")
         return 0
-    raw = pt.join(args.datapath, "raw")
+    raw = args.datapath
+    # markers mirror the loaders' on-disk layouts (datasets/cifar.py:
+    # <root>/cifar10/cifar-10-batches-py or the tar.gz; datasets/imagenet.py:
+    # <root>/imagenet_ad/train)
     markers = {
-        "cifar10": ("cifar-10-batches-py", "cifar-10-python.tar.gz"),
-        "imagenet30": ("imagenet_ad/train",),
+        "cifar10": (pt.join("cifar10", "cifar-10-batches-py"),
+                    pt.join("cifar10", "cifar-10-python.tar.gz")),
+        "imagenet30": (pt.join("imagenet_ad", "train"),),
     }[args.dataset]
     if os.environ.get("EOE_TPU_FAKE_DATA") != "1" and not any(
             pt.exists(pt.join(raw, m)) for m in markers):
