@@ -25,6 +25,10 @@ import time
 
 import numpy as np
 
+# round-1 headline on one v5e chip (BENCH_r01.json): the fixed reference point
+# for vs_baseline on machines without a recorded .bench_baseline.json
+ROUND1_CLIP_BASELINE = 2632.0
+
 
 def build_trainer(model_kind: str, logger, mesh=None):
     import jax.numpy as jnp
@@ -127,18 +131,10 @@ def main():
             rec = json.load(f)
         base = rec.get(rec_key)
     if base is None and rec_key == "clip":
-        # fresh machine: fall back to the earliest recorded round's headline
-        # run so vs_baseline keeps measuring progress since round 1
-        import glob
-        for rfile in sorted(glob.glob(pt.join(pt.dirname(pt.abspath(__file__)), "BENCH_r*.json"))):
-            try:
-                with open(rfile) as f:
-                    v = json.load(f).get("parsed", {}).get("value")
-                if v and np.isfinite(v):
-                    base = float(v)
-                    break
-            except Exception:
-                continue
+        # fresh machine: canonical committed baseline = the round-1 headline
+        # (2632 img/s/chip on one v5e, BENCH_r01), so vs_baseline keeps
+        # measuring progress since round 1 instead of resetting to 1.0
+        base = ROUND1_CLIP_BASELINE
     if (base is None or not np.isfinite(base)) and np.isfinite(ips_chip):
         rec = {} if not pt.exists(baseline_file) else json.load(open(baseline_file))
         rec[rec_key] = ips_chip

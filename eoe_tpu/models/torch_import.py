@@ -163,6 +163,14 @@ def variables_from_torch_state(sd: Dict) -> dict:
     if "visual.conv1.weight" in sd or "token_embedding.weight" in sd:
         from eoe_tpu.models.clip.convert import to_flax
         return to_flax({k: _np(v) for k, v in sd.items()})
+    if "layer1.0.conv3.weight" in sd:
+        # bottleneck blocks (conv3) = torchvision (wide_)resnet50-family, the
+        # reference's WideResNet50Pretrained backbone (resnet.py:8-21); the
+        # fc head is NOT converted — the reference replaces it too
+        from eoe_tpu.models.resnet50 import load_torchvision_state_dict
+        return load_torchvision_state_dict(
+            {k: _np(v) for k, v in sd.items()},
+            layers=_bottleneck_layout(sd))
     if "layer1.0.conv1.weight" in sd:
         return wideresnet_variables_from_torch(sd)
     if "conv1.weight" in sd and "fc1.weight" in sd:
@@ -170,7 +178,19 @@ def variables_from_torch_state(sd: Dict) -> dict:
     raise ValueError(
         f"Cannot sniff a known architecture from state-dict keys "
         f"(got {sorted(sd)[:8]}...). Supported: CNN28/CNN32, WideResNet+CBAM, "
-        f"OpenAI-style CLIP.")
+        f"torchvision (wide_)resnet50, OpenAI-style CLIP.")
+
+
+def _bottleneck_layout(sd: Dict) -> tuple:
+    layout = []
+    stage = 1
+    while f"layer{stage}.0.conv1.weight" in sd:
+        block = 0
+        while f"layer{stage}.{block}.conv1.weight" in sd:
+            block += 1
+        layout.append(block)
+        stage += 1
+    return tuple(layout)
 
 
 def import_torch_snapshot(in_path: str, out_path: str) -> str:
@@ -184,11 +204,19 @@ def import_torch_snapshot(in_path: str, out_path: str) -> str:
         # unify_snapshot_style: a bare tensor dict is a CustomNet feature model
         if isinstance(snapshot, dict) and all(
                 hasattr(t, "detach") for t in snapshot.values()):
-            raise ValueError(
-                "This is a bare feature-model state dict (CustomNet style); "
-                "those depend on the torchvision architecture and are not "
-                "auto-convertible. Convert the full EOE-style snapshot instead.")
-        raise ValueError("Cannot parse snapshot (no 'net' entry).")
+            if "layer1.0.conv3.weight" in snapshot:
+                # the one torchvision backbone this repo ships an architecture
+                # for (wide_resnet50_2, models/resnet50.py): import it as a
+                # trunk-only snapshot — the trainer merges a fresh head
+                snapshot = {"net": snapshot}
+            else:
+                raise ValueError(
+                    "This is a bare feature-model state dict (CustomNet style); "
+                    "those depend on the torchvision architecture and are not "
+                    "auto-convertible (only (wide_)resnet50-family backbones "
+                    "are). Convert the full EOE-style snapshot instead.")
+        else:
+            raise ValueError("Cannot parse snapshot (no 'net' entry).")
 
     variables = variables_from_torch_state(snapshot["net"])
     ds_statistics = snapshot.get("ds_statistics") or {}

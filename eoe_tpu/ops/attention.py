@@ -355,10 +355,24 @@ def fused_qkv_attention(qkv: jax.Array, heads: int, causal: bool = False) -> jax
     return out
 
 
+def _check_fused_shape(heads: int, d: int, s: int):
+    # the lane-group trick only computes exact results when heads tile the
+    # 128-lane groups evenly; reject misaligned configs loudly instead of
+    # silently dropping heads / producing misaligned slices
+    per = LANE // d if d and LANE % d == 0 else 0
+    if per == 0 or heads % per != 0:
+        raise ValueError(
+            f"fused_qkv_attention requires LANE%d==0 and heads%(LANE//d)==0; "
+            f"got heads={heads}, d={d} (use fused_qkv_ok() to gate)")
+    if _round_up(s, 16) > MAX_R:
+        raise ValueError(f"sequence {s} exceeds the single-cell budget MAX_R={MAX_R}")
+
+
 def _fused_fwd(qkv, heads, causal):
     n, s, F = qkv.shape
     D = F // 3
     d = D // heads
+    _check_fused_shape(heads, d, s)
     s_pad = _round_up(s, 16)  # bf16 sublane tile
     qkv_p = _qkv_pad(qkv, s_pad)
     out = _partitioned_call("fwd", D, heads, d, s_pad, s, causal)(qkv_p)

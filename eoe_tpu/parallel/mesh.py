@@ -56,8 +56,13 @@ def init_distributed():
     if os.environ.get("EOE_TPU_DISTRIBUTED", "0") == "1":
         try:
             jax.distributed.initialize()
-        except Exception:  # pragma: no cover - depends on cluster env
-            pass
+        except Exception as exc:
+            # a misconfigured pod must not silently fall back to one process
+            import warnings
+            warnings.warn(
+                f"EOE_TPU_DISTRIBUTED=1 but jax.distributed.initialize() "
+                f"failed ({exc!r}); continuing single-process — shardings "
+                f"will NOT span hosts", RuntimeWarning)
 
 
 def make_mesh(config: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None) -> Mesh:

@@ -685,6 +685,10 @@ class Trainer:
             packed = []
             for _ in range(start_epoch, self.epochs):
                 e_idx_n, e_idx_o, e_w = sampler.epoch()
+                # int packing is only lossless for the sampler's {0,1} mask;
+                # fail loudly if a fractional weighting scheme ever appears
+                assert np.array_equal(e_w, e_w.astype(np.int32)), \
+                    "non-integer sampler weights cannot ride the packed int32 plan"
                 packed.append(np.stack([
                     e_idx_n.astype(np.int32),
                     (e_idx_o if has_oe else np.zeros_like(e_idx_n)).astype(np.int32),
@@ -929,6 +933,23 @@ class Trainer:
             params["feature_model"] = fparams
             self.logger.print("Loaded pre-trained weights for feature model of CustomNet.")
             return state.replace(params=params), 0
+        if set(payload["params"]) < set(state.params):
+            # trunk-only snapshot (e.g. an imported torchvision backbone):
+            # restore the stored modules, keep the fresh head init — the
+            # reference replaces the fc head of pretrained backbones too
+            # (resnet.py:17-19)
+            params = dict(state.params)
+            for k in payload["params"]:
+                params[k] = serialization.from_state_dict(
+                    state.params[k], payload["params"][k])
+            batch_stats = dict(state.batch_stats)
+            for k in payload.get("batch_stats", {}):
+                batch_stats[k] = serialization.from_state_dict(
+                    state.batch_stats[k], payload["batch_stats"][k])
+            missing = sorted(set(state.params) - set(payload["params"]))
+            self.logger.print(
+                f"Loaded trunk-only snapshot; fresh init kept for {missing}")
+            return state.replace(params=params, batch_stats=batch_stats), 0
         params = serialization.from_state_dict(state.params, payload["params"])
         batch_stats = serialization.from_state_dict(state.batch_stats, payload.get("batch_stats", {}))
         opt_state = state.opt_state

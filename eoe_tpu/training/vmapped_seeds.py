@@ -111,6 +111,8 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
     # fits in 64MB, one per epoch otherwise.
     def pack_epoch():
         plans = [s.epoch() for s in samplers]
+        assert all(np.array_equal(p[2], p[2].astype(np.int32)) for p in plans), \
+            "non-integer sampler weights cannot ride the packed int32 plan"
         return np.stack([
             np.stack([p[0] for p in plans]).astype(np.int32),
             (np.stack([p[1] for p in plans]).astype(np.int32) if has_oe

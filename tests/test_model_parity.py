@@ -213,3 +213,71 @@ def test_import_reference_snapshot_roundtrip(ref_models, tmp_path):
     assert payload["epoch"] == 7
     np.testing.assert_allclose(payload["params"]["fc2"]["kernel"],
                                tm.fc2.weight.detach().numpy().T, rtol=1e-6)
+
+
+def test_import_torchvision_resnet50_checkpoint(tmp_path):
+    """A bare torchvision (wide_)resnet50-family state dict (the reference's
+    WideResNet50Pretrained backbone, resnet.py:8-21) imports through the same
+    import_snapshot CLI as a trunk-only snapshot: the trainer restores the
+    trunk and keeps a fresh head init (the reference replaces fc too,
+    resnet.py:17-19)."""
+    from eoe_tpu.main.import_snapshot import main as import_main
+    from eoe_tpu.models.resnet50 import WideResNet50Pretrained
+    from eoe_tpu.training.trainer import TrainState
+    from tests.test_trainer import make_trainer
+
+    # tiny two-stage bottleneck layout; the sniffer reads it from the keys
+    rng = np.random.default_rng(0)
+    sd, inp = {}, 64
+
+    def add_bn(key, c):
+        sd[key + ".weight"] = torch.ones(c)
+        sd[key + ".bias"] = torch.zeros(c)
+        sd[key + ".running_mean"] = torch.zeros(c)
+        sd[key + ".running_var"] = torch.ones(c)
+
+    sd["conv1.weight"] = torch.randn(64, 3, 7, 7) * 0.01
+    add_bn("bn1", 64)
+    for stage in (1, 2):
+        base = 64 * 2 ** (stage - 1)
+        planes, outp = base * 2, base * 4
+        pfx = f"layer{stage}.0"
+        sd[pfx + ".conv1.weight"] = torch.randn(planes, inp, 1, 1) * 0.01
+        add_bn(pfx + ".bn1", planes)
+        sd[pfx + ".conv2.weight"] = torch.randn(planes, planes, 3, 3) * 0.01
+        add_bn(pfx + ".bn2", planes)
+        sd[pfx + ".conv3.weight"] = torch.randn(outp, planes, 1, 1) * 0.01
+        add_bn(pfx + ".bn3", outp)
+        sd[pfx + ".downsample.0.weight"] = torch.randn(outp, inp, 1, 1) * 0.01
+        add_bn(pfx + ".downsample.1", outp)
+        inp = outp
+    sd["fc.weight"] = torch.randn(1000, inp)  # torchvision clf head: ignored
+    sd["fc.bias"] = torch.zeros(1000)
+
+    pt_path = tmp_path / "wide_resnet50_2.pt"
+    torch.save(sd, pt_path)
+    out = import_main([str(pt_path), str(tmp_path / "snap.msgpack")])
+
+    model = WideResNet50Pretrained(rep_dim=8, layers=(1, 1))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.key(0), x, train=False)
+    state = TrainState(params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=None, step=jnp.zeros((), jnp.int32))
+    trainer = make_trainer(tmp_path / "run", model=model)
+    loaded, epoch = trainer.load(str(out), state)
+    assert epoch == 0
+    # trunk params are the torch weights (OIHW->HWIO)
+    np.testing.assert_allclose(
+        np.asarray(loaded.params["conv1"]["kernel"]),
+        sd["conv1.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(loaded.params["layer2_0"]["conv3"]["kernel"]),
+        sd["layer2.0.conv3.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6)
+    # head stays at the fresh init
+    np.testing.assert_array_equal(np.asarray(loaded.params["fc"]["kernel"]),
+                                  np.asarray(variables["params"]["fc"]["kernel"]))
+    # and the model runs with the merged tree
+    out_feats = model.apply({"params": loaded.params,
+                             "batch_stats": loaded.batch_stats}, x, train=False)
+    assert np.isfinite(np.asarray(out_feats)).all()
