@@ -7,7 +7,7 @@ relu). The reference zero-initializes the SpatialGate BN scale
 (resnet.py:60-62), which we reproduce.
 """
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -19,14 +19,16 @@ class ChannelGate(nn.Module):
     gate_channels: int
     reduction_ratio: int = 16
     pool_types: Sequence[str] = ("avg", "max")
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         n, h, w, c = x.shape
         hidden = nn.Dense(c // self.reduction_ratio, kernel_init=torch_linear_init(),
-                          bias_init=torch_linear_bias_init(c), name="mlp_hidden")
+                          bias_init=torch_linear_bias_init(c), dtype=self.dtype, name="mlp_hidden")
         out = nn.Dense(c, kernel_init=torch_linear_init(),
-                       bias_init=torch_linear_bias_init(c // self.reduction_ratio), name="mlp_out")
+                       bias_init=torch_linear_bias_init(c // self.reduction_ratio),
+                       dtype=self.dtype, name="mlp_out")
 
         att_sum = None
         for pool_type in self.pool_types:
@@ -48,12 +50,14 @@ class ChannelGate(nn.Module):
 
 
 class SpatialGate(nn.Module):
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         compress = jnp.concatenate([x.max(axis=-1, keepdims=True), x.mean(axis=-1, keepdims=True)], axis=-1)
-        y = nn.Conv(1, (7, 7), padding=3, use_bias=False, name="spatial_conv")(compress)
+        y = nn.Conv(1, (7, 7), padding=3, use_bias=False, dtype=self.dtype, name="spatial_conv")(compress)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.99, epsilon=1e-5,
-                         scale_init=nn.initializers.zeros, name="spatial_bn")(y)
+                         scale_init=nn.initializers.zeros, dtype=self.dtype, name="spatial_bn")(y)
         return x * nn.sigmoid(y)
 
 
@@ -62,10 +66,12 @@ class CBAM(nn.Module):
     reduction_ratio: int = 16
     pool_types: Sequence[str] = ("avg", "max")
     no_spatial: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = ChannelGate(self.gate_channels, self.reduction_ratio, self.pool_types, name="channel_gate")(x, train)
+        x = ChannelGate(self.gate_channels, self.reduction_ratio, self.pool_types,
+                        dtype=self.dtype, name="channel_gate")(x, train)
         if not self.no_spatial:
-            x = SpatialGate(name="spatial_gate")(x, train)
+            x = SpatialGate(dtype=self.dtype, name="spatial_gate")(x, train)
         return x

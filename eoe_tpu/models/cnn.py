@@ -8,6 +8,7 @@ leaky-relu gain like the reference.
 """
 
 import math
+from typing import Any
 
 import flax.linen as nn
 import jax
@@ -49,9 +50,9 @@ def torch_linear_bias_init(fan_in: int):
     return init
 
 
-def _bn(affine: bool, name: str):
+def _bn(affine: bool, name: str, dtype=None):
     return nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-4,
-                        use_bias=affine, use_scale=affine, name=name)
+                        use_bias=affine, use_scale=affine, dtype=dtype, name=name)
 
 
 def max_pool_2x2(x):
@@ -63,20 +64,21 @@ class CNN28(nn.Module):
     rep_dim: int = 32
     bias: bool = True
     clf: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         x = x.reshape(-1, 28, 28, 1)
         x = nn.Conv(16, (5, 5), padding=2, use_bias=self.bias,
-                    kernel_init=xavier_normal(_LEAKY_GAIN), name="conv1")(x)
-        x = max_pool_2x2(nn.leaky_relu(_bn(self.bias, "bn2d1")(x, use_running_average=not train)))
+                    kernel_init=xavier_normal(_LEAKY_GAIN), dtype=self.dtype, name="conv1")(x)
+        x = max_pool_2x2(nn.leaky_relu(_bn(self.bias, "bn2d1", self.dtype)(x, use_running_average=not train)))
         x = nn.Conv(32, (5, 5), padding=2, use_bias=self.bias,
-                    kernel_init=xavier_normal(_LEAKY_GAIN), name="conv2")(x)
-        x = max_pool_2x2(nn.leaky_relu(_bn(self.bias, "bn2d2")(x, use_running_average=not train)))
+                    kernel_init=xavier_normal(_LEAKY_GAIN), dtype=self.dtype, name="conv2")(x)
+        x = max_pool_2x2(nn.leaky_relu(_bn(self.bias, "bn2d2", self.dtype)(x, use_running_average=not train)))
         x = x.reshape(x.shape[0], -1)
-        x = nn.Dense(64, use_bias=self.bias, kernel_init=xavier_normal(_LEAKY_GAIN), name="fc1")(x)
-        x = nn.leaky_relu(_bn(self.bias, "bn1d1")(x, use_running_average=not train))
-        x = nn.Dense(self.rep_dim, use_bias=self.bias, kernel_init=xavier_normal(), name="fc2")(x)
+        x = nn.Dense(64, use_bias=self.bias, kernel_init=xavier_normal(_LEAKY_GAIN), dtype=self.dtype, name="fc1")(x)
+        x = nn.leaky_relu(_bn(self.bias, "bn1d1", self.dtype)(x, use_running_average=not train))
+        x = nn.Dense(self.rep_dim, use_bias=self.bias, kernel_init=xavier_normal(), dtype=self.dtype, name="fc2")(x)
         if self.clf:
             x = nn.Dense(1, kernel_init=torch_linear_init(),
                          bias_init=torch_linear_bias_init(self.rep_dim), name="linear")(x)
@@ -89,6 +91,7 @@ class CNN32(nn.Module):
     bias: bool = True
     clf: bool = False
     grayscale: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -96,12 +99,12 @@ class CNN32(nn.Module):
         x = x.reshape(-1, 32, 32, c)
         for i, feats in enumerate((32, 64, 128), start=1):
             x = nn.Conv(feats, (5, 5), padding=2, use_bias=self.bias,
-                        kernel_init=xavier_normal(_LEAKY_GAIN), name=f"conv{i}")(x)
-            x = max_pool_2x2(nn.leaky_relu(_bn(self.bias, f"bn2d{i}")(x, use_running_average=not train)))
+                        kernel_init=xavier_normal(_LEAKY_GAIN), dtype=self.dtype, name=f"conv{i}")(x)
+            x = max_pool_2x2(nn.leaky_relu(_bn(self.bias, f"bn2d{i}", self.dtype)(x, use_running_average=not train)))
         x = x.reshape(x.shape[0], -1)  # 4*4*128
-        x = nn.Dense(512, use_bias=self.bias, kernel_init=xavier_normal(_LEAKY_GAIN), name="fc1")(x)
-        x = nn.leaky_relu(_bn(self.bias, "bn1d1")(x, use_running_average=not train))
-        x = nn.Dense(self.rep_dim, use_bias=self.bias, kernel_init=xavier_normal(), name="fc2")(x)
+        x = nn.Dense(512, use_bias=self.bias, kernel_init=xavier_normal(_LEAKY_GAIN), dtype=self.dtype, name="fc1")(x)
+        x = nn.leaky_relu(_bn(self.bias, "bn1d1", self.dtype)(x, use_running_average=not train))
+        x = nn.Dense(self.rep_dim, use_bias=self.bias, kernel_init=xavier_normal(), dtype=self.dtype, name="fc2")(x)
         if self.clf:
             x = nn.Dense(1, kernel_init=torch_linear_init(),
                          bias_init=torch_linear_bias_init(self.rep_dim), name="linear")(x)

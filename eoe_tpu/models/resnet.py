@@ -13,7 +13,7 @@ torchvision-checkpoint converter.
 """
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -31,8 +31,11 @@ def kaiming_normal_fan_out():
     return init
 
 
-def _bn(name: str):
-    return nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5, name=name)
+def _bn(name: str, dtype=None):
+    # dtype only affects the normalized output; flax computes the batch
+    # statistics in f32 regardless (normalization._compute_stats)
+    return nn.BatchNorm(use_running_average=None, momentum=0.9, epsilon=1e-5,
+                        dtype=dtype, name=name)
 
 
 class BasicBlock(nn.Module):
@@ -40,22 +43,23 @@ class BasicBlock(nn.Module):
     stride: int = 1
     use_cbam: bool = True
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         residual = x
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1, use_bias=False,
-                      kernel_init=kaiming_normal_fan_out(), name="conv1")(x)
-        out = nn.relu(_bn("bn1")(out, use_running_average=not train))
+                      kernel_init=kaiming_normal_fan_out(), dtype=self.dtype, name="conv1")(x)
+        out = nn.relu(_bn("bn1", self.dtype)(out, use_running_average=not train))
         out = nn.Conv(self.planes, (3, 3), padding=1, use_bias=False,
-                      kernel_init=kaiming_normal_fan_out(), name="conv2")(out)
-        out = _bn("bn2")(out, use_running_average=not train)
+                      kernel_init=kaiming_normal_fan_out(), dtype=self.dtype, name="conv2")(out)
+        out = _bn("bn2", self.dtype)(out, use_running_average=not train)
         if self.downsample:
             residual = nn.Conv(self.planes, (1, 1), strides=self.stride, use_bias=False,
-                               kernel_init=kaiming_normal_fan_out(), name="down_conv")(x)
-            residual = _bn("down_bn")(residual, use_running_average=not train)
+                               kernel_init=kaiming_normal_fan_out(), dtype=self.dtype, name="down_conv")(x)
+            residual = _bn("down_bn", self.dtype)(residual, use_running_average=not train)
         if self.use_cbam:
-            out = CBAM(self.planes, 16, name="cbam")(out, train)
+            out = CBAM(self.planes, 16, dtype=self.dtype, name="cbam")(out, train)
         return nn.relu(out + residual)
 
 
@@ -64,14 +68,18 @@ class WideResNet(nn.Module):
     clf: bool = False
     layers: Sequence[int] = (2, 2, 2, 2)
     use_cbam: bool = True
+    # compute dtype for convs/BN outputs (params stay f32); None = promote
+    # with the f32 params, i.e. full f32 compute. The Trainer clones the
+    # model with its --compute-dtype when this is left None.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # NHWC input of any spatial size (the reference targets 224x224 but the
         # custom entry points feed other crops); pooling below is global
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    kernel_init=kaiming_normal_fan_out(), name="conv1")(x)
-        x = nn.relu(_bn("bn1")(x, use_running_average=not train))
+                    kernel_init=kaiming_normal_fan_out(), dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(_bn("bn1", self.dtype)(x, use_running_average=not train))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         inplanes = 64
@@ -80,14 +88,15 @@ class WideResNet(nn.Module):
             for b in range(blocks):
                 s = stride if b == 0 else 1
                 down = b == 0 and (s != 1 or inplanes != planes)
-                x = BasicBlock(planes, s, self.use_cbam, down, name=f"layer{stage}_block{b}")(x, train)
+                x = BasicBlock(planes, s, self.use_cbam, down, dtype=self.dtype,
+                               name=f"layer{stage}_block{b}")(x, train)
             inplanes = planes
 
         # 7x7 avg pool on the 7x7 feature map == global average pool
         x = x.mean(axis=(1, 2))
         x = nn.Dense(self.rep_dim, kernel_init=kaiming_normal_fan_out(),
-                     bias_init=nn.initializers.zeros, name="fc")(x)
+                     bias_init=nn.initializers.zeros, dtype=self.dtype, name="fc")(x)
         if self.clf:
             x = nn.Dense(1, kernel_init=kaiming_normal_fan_out(),
-                         bias_init=nn.initializers.zeros, name="linear")(x)
+                         bias_init=nn.initializers.zeros, dtype=self.dtype, name="linear")(x)
         return x

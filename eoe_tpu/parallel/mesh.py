@@ -48,14 +48,25 @@ _distributed_initialized = False
 def init_distributed():
     """Initialize jax.distributed for multi-host pods when EOE_TPU_DISTRIBUTED=1.
     Must run BEFORE anything touches a backend (jax.devices/process_count
-    would instantiate the single-process backend first); a no-op otherwise."""
+    would instantiate the single-process backend first); a no-op otherwise.
+
+    On TPU pods ``jax.distributed.initialize()`` auto-discovers the cluster;
+    for explicit clusters (and the 2-process CPU test, tests/test_multihost.py)
+    set EOE_TPU_COORD_ADDR=host:port, EOE_TPU_NUM_PROCESSES and
+    EOE_TPU_PROCESS_ID."""
     global _distributed_initialized
     if _distributed_initialized:
         return
     _distributed_initialized = True
     if os.environ.get("EOE_TPU_DISTRIBUTED", "0") == "1":
+        kwargs = {}
+        if os.environ.get("EOE_TPU_COORD_ADDR"):
+            kwargs = dict(
+                coordinator_address=os.environ["EOE_TPU_COORD_ADDR"],
+                num_processes=int(os.environ["EOE_TPU_NUM_PROCESSES"]),
+                process_id=int(os.environ["EOE_TPU_PROCESS_ID"]))
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except Exception as exc:
             # a misconfigured pod must not silently fall back to one process
             import warnings

@@ -124,6 +124,13 @@ class Trainer:
                  mesh: Optional[Any] = None, nominal_label: int = 0,
                  compute_dtype=jnp.float32):
         assert ad_mode in AD_MODES, f"AD mode {ad_mode} unknown. Known modes are {AD_MODES}."
+        if (compute_dtype != jnp.float32 and model is not None
+                and getattr(model, "dtype", False) is None):
+            # mixed precision: the conv models carry a flax compute-dtype attr
+            # (params stay f32); a model left at dtype=None would silently
+            # promote every matmul/conv back to f32 against its f32 params,
+            # halving MXU throughput — wire --compute-dtype through
+            model = model.clone(dtype=compute_dtype)
         self.model = model
         self.objective: Objective = OBJECTIVES[objective] if isinstance(objective, str) else objective
         self.train_specs = list(train_specs or ())

@@ -1,9 +1,11 @@
-"""Profile the steady-state CLIP bench train step on the TPU and print a
+"""Profile the steady-state bench train step on the TPU and print a
 device-time breakdown (top ops by total duration + category rollup).
 
-Usage:  python experiments/profile_clip.py [--steps 4] [--logdir /tmp/eoe_prof]
-Writes the raw jax.profiler trace under --logdir and prints the parsed
-summary used for the roofline note in PARITY.md.
+Usage:  python experiments/profile_bench.py [--model clip|wrn|cnn32]
+                                            [--logdir /tmp/eoe_prof]
+(--model defaults to EOE_TPU_BENCH_MODEL, then "clip".) Writes the raw
+jax.profiler trace under --logdir and prints the parsed summary used for
+the roofline notes in PARITY.md.
 
 Caveat: on long-lived tunneled-TPU sessions the server's op-level profiler
 can degrade (the trace then shows "Steps" events but an empty "XLA Ops"
@@ -25,7 +27,7 @@ import numpy as np
 sys.path.insert(0, pt.dirname(pt.dirname(pt.abspath(__file__))))
 
 
-def run_profiled_epochs(steps: int, logdir: str):
+def run_profiled_epochs(steps: int, logdir: str, model: str = "clip"):
     import os
     # profile in 4-step dispatches: single whole-epoch programs can outlive
     # the profiler's event buffer and yield an empty device trace
@@ -37,7 +39,7 @@ def run_profiled_epochs(steps: int, logdir: str):
     from eoe_tpu.utils.logger import Logger
     from eoe_tpu.utils.profiling import profile
 
-    trainer, ds = bench.build_trainer("clip", Logger("/tmp/eoe_tpu_prof_run", active=False))
+    trainer, ds = bench.build_trainer(model, Logger("/tmp/eoe_tpu_prof_run", active=False))
     trainer.epochs = 2  # epoch 1 compiles; epoch 2 is steady-state warmup
     trainer.train_cls(ds, 0, "warmup", 0, jrandom.key(0))
     trainer.epochs = 3
@@ -91,7 +93,7 @@ def parse_trace(logdir: str, topk: int = 25):
     for name, dur in op_total.items():
         n = name.lower()
         if "conv" in n:
-            cats["conv(patch-embed)"] += dur
+            cats["conv"] += dur
         elif any(k in n for k in ("dot", "matmul", "einsum")):
             cats["matmul"] += dur
         elif any(k in n for k in ("copy", "transpose", "bitcast", "reshape")):
@@ -108,11 +110,14 @@ def parse_trace(logdir: str, topk: int = 25):
 
 
 if __name__ == "__main__":
+    import os
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=4)
+    ap.add_argument("--model", type=str,
+                    default=os.environ.get("EOE_TPU_BENCH_MODEL", "clip"))
     ap.add_argument("--logdir", type=str, default="/tmp/eoe_prof")
     ap.add_argument("--parse-only", action="store_true")
     args = ap.parse_args()
     if not args.parse_only:
-        run_profiled_epochs(args.steps, args.logdir)
+        run_profiled_epochs(args.steps, args.logdir, args.model)
     parse_trace(args.logdir)
