@@ -32,6 +32,69 @@ ANOMALY_DIRS = ("anomalous", "anomaly", "anomalies", "oe", "outlier-exposure")
 UNLABELED_DIRS = ("unlabeled",)
 
 
+def check_custom_layout(root: str, ovr: bool, train_only: bool = False,
+                        eval_only: bool = False):
+    """Validate a custom dataset tree (parity: custom.py:221-299). ``root``
+    is the folder holding train/test (combined layouts) or the split-less
+    normal/anomalous folders (train_only / eval_only). Raises ValueError on
+    any deviation; also used by ``prepare_data custom --check-only``."""
+    combined = not (train_only or eval_only)
+    trainpath = pt.join(root, "train") if combined else root
+    testpath = pt.join(root, "test") if combined else root
+    if not eval_only and not pt.exists(trainpath):
+        raise ValueError(f"No custom data found since {trainpath} does not exist.")
+    if not train_only and not pt.exists(testpath):
+        raise ValueError(f"No custom data found since {testpath} does not exist.")
+    if combined:
+        reserved = ("normal", "nominal", "anomalous")
+        if any(d.lower() in reserved for d in os.listdir(trainpath)):
+            raise ValueError(
+                f'Found a class folder named "normal", "nominal", or "anomalous" in '
+                f'({trainpath}). Class folders need to match class names (like "dog", '
+                f'"hazelnut"); in the general mode place samples in CLASS_NAME/normal '
+                f'and CLASS_NAME/anomalous.')
+        if not ovr:
+            valid = NORMAL_DIRS + ANOMALY_DIRS
+            for split_dir in (trainpath, testpath):
+                for cls_dir in os.listdir(split_dir):
+                    sub = [d.lower() for d in os.listdir(pt.join(split_dir, cls_dir))]
+                    if "normal" not in sub:
+                        raise ValueError(
+                            f'All class folders need a "normal" subfolder; none found '
+                            f"in {pt.join(split_dir, cls_dir)}.")
+                    for lbl_dir in sub:
+                        if lbl_dir not in valid:
+                            raise ValueError(
+                                f'Class folders may only contain {valid}; found '
+                                f'"{lbl_dir}" in {pt.join(split_dir, cls_dir)}.')
+        train_classes = sorted(os.listdir(trainpath))
+        test_classes = sorted(os.listdir(testpath))
+        if train_classes != test_classes:
+            raise ValueError(
+                f"The training class names and test class names do not match: "
+                f"{train_classes} vs {test_classes}.")
+    else:
+        if ovr:
+            raise ValueError(
+                "One-vs-rest evaluation mode not supported for separate training "
+                "and inference.")
+        dirs = [d.lower() for d in os.listdir(root) if pt.isdir(pt.join(root, d))]
+        if train_only and "normal" not in dirs:
+            raise ValueError(
+                f'The dataset folder at {root} needs a "normal" folder for '
+                f"normal training samples.")
+        if eval_only and not (set(dirs) & set(NORMAL_DIRS + ANOMALY_DIRS + UNLABELED_DIRS)):
+            raise ValueError(
+                f"The dataset folder at {root} needs at least one of: "
+                f'"normal", "anomalous", "unlabeled".')
+        valid = NORMAL_DIRS + ANOMALY_DIRS + UNLABELED_DIRS
+        for d in dirs:
+            if d not in valid:
+                raise ValueError(
+                    f'The dataset folder at {root} contains "{d}"; valid folder '
+                    f"names are {valid}.")
+
+
 def _is_img(fn: str) -> bool:
     return fn.lower().endswith(IMG_EXTENSIONS)
 
@@ -179,58 +242,4 @@ class ADCustomDS(ADDataset):
 
     def check_data(self):
         """Layout validation (parity: custom.py:221-299)."""
-        combined = not (self.train_only or self.eval_only)
-        trainpath = pt.join(self.root, "train") if combined else self.root
-        testpath = pt.join(self.root, "test") if combined else self.root
-        if not self.eval_only and not pt.exists(trainpath):
-            raise ValueError(f"No custom data found since {trainpath} does not exist.")
-        if not self.train_only and not pt.exists(testpath):
-            raise ValueError(f"No custom data found since {testpath} does not exist.")
-        if combined:
-            reserved = ("normal", "nominal", "anomalous")
-            if any(d.lower() in reserved for d in os.listdir(trainpath)):
-                raise ValueError(
-                    f'Found a class folder named "normal", "nominal", or "anomalous" in '
-                    f'({trainpath}). Class folders need to match class names (like "dog", '
-                    f'"hazelnut"); in the general mode place samples in CLASS_NAME/normal '
-                    f'and CLASS_NAME/anomalous.')
-            if not self.ovr:
-                valid = NORMAL_DIRS + ANOMALY_DIRS
-                for split_dir in (trainpath, testpath):
-                    for cls_dir in os.listdir(split_dir):
-                        sub = [d.lower() for d in os.listdir(pt.join(split_dir, cls_dir))]
-                        if "normal" not in sub:
-                            raise ValueError(
-                                f'All class folders need a "normal" subfolder; none found '
-                                f"in {pt.join(split_dir, cls_dir)}.")
-                        for lbl_dir in sub:
-                            if lbl_dir not in valid:
-                                raise ValueError(
-                                    f'Class folders may only contain {valid}; found '
-                                    f'"{lbl_dir}" in {pt.join(split_dir, cls_dir)}.')
-            train_classes = sorted(os.listdir(trainpath))
-            test_classes = sorted(os.listdir(testpath))
-            if train_classes != test_classes:
-                raise ValueError(
-                    f"The training class names and test class names do not match: "
-                    f"{train_classes} vs {test_classes}.")
-        else:
-            if self.ovr:
-                raise ValueError(
-                    "One-vs-rest evaluation mode not supported for separate training "
-                    "and inference.")
-            dirs = [d.lower() for d in os.listdir(self.root) if pt.isdir(pt.join(self.root, d))]
-            if self.train_only and "normal" not in dirs:
-                raise ValueError(
-                    f'The dataset folder at {self.root} needs a "normal" folder for '
-                    f"normal training samples.")
-            if self.eval_only and not (set(dirs) & set(NORMAL_DIRS + ANOMALY_DIRS + UNLABELED_DIRS)):
-                raise ValueError(
-                    f"The dataset folder at {self.root} needs at least one of: "
-                    f'"normal", "anomalous", "unlabeled".')
-            valid = NORMAL_DIRS + ANOMALY_DIRS + UNLABELED_DIRS
-            for d in dirs:
-                if d not in valid:
-                    raise ValueError(
-                        f'The dataset folder at {self.root} contains "{d}"; valid folder '
-                        f"names are {valid}.")
+        check_custom_layout(self.root, self.ovr, self.train_only, self.eval_only)

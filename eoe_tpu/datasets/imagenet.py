@@ -120,3 +120,38 @@ class ADImageNet21kSubSet(ADImageNet21k):
     """Pre-built subset folder (see experiments/caching/create_imagenet21k_subset)
     at ``root``/imagenet21k_subset (imagenet.py:502-507)."""
     base_folder = "imagenet21k_subset"
+
+
+def build_imagenet21k_subset(datapath: str, per_class: int = 50, size: int = 256,
+                             seed: int = 0, log=print) -> str:
+    """Build the resized on-disk 21k subset for ADImageNet21kSubSet (<=
+    ``per_class`` images per wnid; parity target:
+    /root/reference/experiments/caching/create_imagenet21k_subset.py). Also
+    reachable via ``prepare_data imagenet21ksubset --build-subset``."""
+    import os
+
+    from PIL import Image
+
+    from eoe_tpu.datasets.folder import decode_image
+
+    src = pt.join(datapath, "datasets", ADImageNet21k.base_folder)
+    dst = pt.join(datapath, "datasets", ADImageNet21kSubSet.base_folder)
+    rng = np.random.default_rng(seed)
+    classes = sorted(d for d in os.listdir(src) if pt.isdir(pt.join(src, d)))
+    if not classes:
+        raise FileNotFoundError(f"no class folders under {src}")
+    for ci, cls in enumerate(classes):
+        files = sorted(os.listdir(pt.join(src, cls)))
+        pick = rng.choice(len(files), min(per_class, len(files)), replace=False)
+        os.makedirs(pt.join(dst, cls), exist_ok=True)
+        for i in sorted(pick):
+            try:
+                img = decode_image(pt.join(src, cls, files[i]), (size, size))
+            except Exception as e:
+                log(f"skip {files[i]}: {e}")
+                continue
+            Image.fromarray(img).save(pt.join(dst, cls, pt.splitext(files[i])[0] + ".jpg"))
+        if ci % 100 == 0:
+            log(f"{ci}/{len(classes)} classes done")
+    log(f"subset complete at {dst}")
+    return dst

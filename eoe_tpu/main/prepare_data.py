@@ -178,11 +178,15 @@ def prepare_cub(ds: str, archives, root: str, args) -> str:
         algo, dig = _known_digest(ds, pt.basename(a)) or ("md5", None)
         verify_file(a, algo, dig, args.skip_hash)
         _extract(a, dest)
-    # per-file integrity sweep (reference cub.py:193-203)
+    return _check_cub_tree(dest)
+
+
+def _check_cub_tree(dest: str) -> str:
+    """Per-file integrity sweep (reference cub.py:193-203)."""
     meta = pt.join(dest, "CUB_200_2011")
     images_txt = pt.join(meta, "images.txt")
     if not pt.exists(images_txt):
-        raise FileNotFoundError(f"{images_txt} missing after extraction")
+        raise FileNotFoundError(f"{images_txt} missing")
     missing = []
     with open(images_txt) as f:
         for line in f:
@@ -246,11 +250,238 @@ def prepare_clip(ds: str, archives, root: str, args) -> str:
     return out or dest
 
 
+def prepare_imagenet30(ds: str, archives, root: str, args) -> str:
+    """ImageNet-30 (imagenet_ad/{train,val}): extract user archives into the
+    layout, then validate it (the reference validates at load time via its
+    hand-picked 30-class list, imagenet.py:27-30,60-66)."""
+    dest = pt.join(root, "imagenet_ad")
+    for a in archives:
+        _extract(a, dest)
+    return check_imagenet30(root, args)
+
+
+def check_imagenet30(root: str, args) -> str:
+    from eoe_tpu.datasets.imagenet import AD_CLASSES
+    dest = pt.join(root, "imagenet_ad")
+    for split in ("train", "val"):
+        sp = pt.join(dest, split)
+        if not pt.isdir(sp):
+            raise FileNotFoundError(
+                f"{sp} missing; imagenet30 needs imagenet_ad/train and "
+                f"imagenet_ad/val class-folder trees.")
+        present = {d for d in os.listdir(sp) if pt.isdir(pt.join(sp, d))}
+        missing = [c for c in AD_CLASSES if c not in present]
+        if missing:
+            raise FileNotFoundError(
+                f"{sp} lacks {len(missing)} of the 30 AD classes "
+                f"(first: {missing[:5]}; the loader remaps exactly these "
+                f"folder names, reference imagenet.py:27-30).")
+        empty = [c for c in AD_CLASSES if not os.listdir(pt.join(sp, c))]
+        if empty:
+            raise FileNotFoundError(f"{sp}: empty class folders {empty[:5]}")
+        n = sum(len(os.listdir(pt.join(sp, c))) for c in AD_CLASSES)
+        extra = len(present) - (30 - len(missing))
+        print(f"imagenet30 {split}: 30/30 AD classes, {n} images"
+              + (f" (+{extra} extra class folders, ignored by the loader)" if extra else ""))
+    return dest
+
+
+def prepare_imagenet21k(ds: str, archives, root: str, args) -> str:
+    """ImageNet-21k OE pool (imagenet22k/fall11_whole_extracted/<wnid>/)."""
+    from eoe_tpu.datasets.imagenet import ADImageNet21k
+    dest = pt.join(root, ADImageNet21k.base_folder)
+    for a in archives:
+        _extract(a, dest)
+    return check_imagenet21k(root, args)
+
+
+def check_imagenet21k(root: str, args) -> str:
+    from eoe_tpu.datasets.imagenet import IMAGENET1K_WNIDS, ADImageNet21k
+    dest = pt.join(root, ADImageNet21k.base_folder)
+    if not pt.isdir(dest):
+        raise FileNotFoundError(
+            f"{dest} missing; imagenet21k expects wnid class folders under "
+            f"imagenet22k/fall11_whole_extracted/.")
+    wnids = [d for d in os.listdir(dest)
+             if pt.isdir(pt.join(dest, d)) and d.startswith("n")]
+    if not wnids:
+        raise FileNotFoundError(f"{dest} contains no n* wnid class folders.")
+    overlap = sorted(set(wnids) & IMAGENET1K_WNIDS)
+    print(f"imagenet21k: {len(wnids)} wnid folders; {len(overlap)} of the 30 "
+          f"AD-class 1k synsets present (excluded at load, imagenet.py:378-387)")
+    return dest
+
+
+def prepare_imagenet21ksubset(ds: str, archives, root: str, args) -> str:
+    """Pre-built 21k subset (imagenet21k_subset/): extract archives OR build
+    from the full 21k tree with --build-subset N."""
+    from eoe_tpu.datasets.imagenet import (ADImageNet21kSubSet,
+                                           build_imagenet21k_subset)
+    dest = pt.join(root, ADImageNet21kSubSet.base_folder)
+    for a in archives:
+        _extract(a, dest)
+    if args.build_subset:
+        build_imagenet21k_subset(pt.dirname(root), per_class=args.build_subset,
+                                 size=args.subset_size)
+    return check_imagenet21ksubset(root, args)
+
+
+def check_imagenet21ksubset(root: str, args) -> str:
+    from eoe_tpu.datasets.imagenet import ADImageNet21kSubSet
+    dest = pt.join(root, ADImageNet21kSubSet.base_folder)
+    if not pt.isdir(dest) or not any(
+            pt.isdir(pt.join(dest, d)) for d in os.listdir(dest)):
+        raise FileNotFoundError(
+            f"{dest} missing or empty; build it with --build-subset N from a "
+            f"prepared imagenet21k tree (or run "
+            f"experiments/caching/create_imagenet21k_subset.py).")
+    n_cls = sum(pt.isdir(pt.join(dest, d)) for d in os.listdir(dest))
+    print(f"imagenet21ksubset: {n_cls} class folders at {dest}")
+    return dest
+
+
+def prepare_custom(ds: str, archives, root: str, args) -> str:
+    """Custom dataset layouts: extract archives into <root>/custom/, then run
+    the same validation the loaders apply (custom.py:221-299 check_data).
+    Layout mode is auto-detected: class folders containing a normal/
+    subfolder => general mode, else one-vs-rest; --train-only/--eval-only
+    validate split-less roots."""
+    dest = pt.join(root, "custom")
+    for a in archives:
+        _extract(a, dest)
+    return check_custom(root, args)
+
+
+def check_custom(root: str, args) -> str:
+    from eoe_tpu.datasets.custom import check_custom_layout
+    dest = args.custom_root or pt.join(root, "custom")
+    if args.train_only or args.eval_only:
+        check_custom_layout(dest, ovr=False, train_only=args.train_only,
+                            eval_only=args.eval_only)
+        mode = "train-only" if args.train_only else "eval-only"
+        print(f"custom ({mode}, split-less) layout OK at {dest}")
+        return dest
+    train = pt.join(dest, "train")
+    if not pt.isdir(train):
+        raise FileNotFoundError(
+            f"{train} missing; combined custom layouts need train/ and test/ "
+            f"(use --train-only/--eval-only for split-less roots).")
+    classes = sorted(d for d in os.listdir(train) if pt.isdir(pt.join(train, d)))
+    ovr = not any(
+        pt.isdir(pt.join(train, c, sub))
+        for c in classes for sub in ("normal", "nominal"))
+    check_custom_layout(dest, ovr=ovr)
+    print(f"custom ({'one-vs-rest' if ovr else 'general'}) layout OK: "
+          f"{len(classes)} classes {classes[:8]}{'...' if len(classes) > 8 else ''}")
+    return dest
+
+
+# --------------------------------------------------- check-only validators
+# (datasets whose prepare step is archive placement get a layout re-check)
+
+
+def check_cifar(root: str, args) -> str:
+    ds = args.dataset
+    sub, member, files = (("cifar10", "cifar-10-batches-py",
+                           [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"])
+                          if ds == "cifar10"
+                          else ("cifar100", "cifar-100-python", ["train", "test"]))
+    dest = pt.join(root, sub, member)
+    missing = [f for f in files if not pt.isfile(pt.join(dest, f))]
+    if missing:
+        raise FileNotFoundError(f"{dest} lacks {missing}")
+    print(f"{ds} OK at {dest}")
+    return dest
+
+
+def check_idx(root: str, args) -> str:
+    ds = args.dataset
+    dest = pt.join(root, ds)
+    prefix = "emnist-letters-" if ds == "emnist" else ""
+    stems = [f"{prefix}train-images-idx3-ubyte", f"{prefix}train-labels-idx1-ubyte",
+             f"{prefix}t10k-images-idx3-ubyte", f"{prefix}t10k-labels-idx1-ubyte"]
+    missing = [s for s in stems
+               if not any(pt.isfile(pt.join(dest, s + suf)) for suf in ("", ".gz"))]
+    if missing:
+        raise FileNotFoundError(f"{dest} lacks idx files {missing}")
+    print(f"{ds} OK at {dest}")
+    return dest
+
+
+def check_mvtec(root: str, args) -> str:
+    from eoe_tpu.datasets.mvtec import LABELS, _blob_path
+    dest = pt.join(root, "mvtec")
+    if args.blob_resolution:
+        bp = _blob_path(dest, (args.blob_resolution, args.blob_resolution))
+        if not pt.isfile(bp):
+            raise FileNotFoundError(f"blob {bp} missing (run without --check-only "
+                                    f"to build it)")
+        print(f"mvtec blob OK at {bp}")
+        return bp
+    present = [c for c in LABELS if pt.isdir(pt.join(dest, c, "train", "good"))]
+    if len(present) < len(LABELS):
+        raise FileNotFoundError(
+            f"mvtec at {dest}: only {len(present)}/{len(LABELS)} classes have "
+            f"train/good (missing: {sorted(set(LABELS) - set(present))[:5]})")
+    print(f"mvtec OK: {len(present)} classes at {dest}")
+    return dest
+
+
+def check_cub_only(root: str, args) -> str:
+    dest = pt.join(root, "cub")
+    return _check_cub_tree(dest)
+
+
+def check_dtd(root: str, args) -> str:
+    out = pt.join(root, "dtd", "dtd")
+    for req in ("images", "labels"):
+        if not pt.isdir(pt.join(out, req)):
+            raise FileNotFoundError(f"{out}/{req} missing")
+    print(f"dtd OK at {out}")
+    return out
+
+
+def check_tinyimages(root: str, args) -> str:
+    out = pt.join(root, "tinyimages", "tiny_images.bin")
+    if not pt.isfile(out):
+        raise FileNotFoundError(f"{out} missing")
+    size = pt.getsize(out)
+    if size != TINYIMAGES_BYTES and not args.skip_hash:
+        raise ValueError(f"{out} is {size} bytes, expected {TINYIMAGES_BYTES}")
+    print(f"tinyimages OK ({size} bytes)")
+    return out
+
+
+def check_clip(root: str, args) -> str:
+    dest = pt.join(pt.dirname(root), "clip_checkpoints") if root.endswith("datasets") \
+        else pt.join(root, "clip_checkpoints")
+    found = [f for f in (os.listdir(dest) if pt.isdir(dest) else [])
+             if f.endswith(".pt")]
+    if not found:
+        raise FileNotFoundError(f"no .pt checkpoints under {dest}")
+    for f in found:
+        dig = CLIP_SHA256.get(f)
+        verify_file(pt.join(dest, f), "sha256", dig, args.skip_hash)
+    print(f"clip OK: {sorted(found)} at {dest}")
+    return dest
+
+
 HANDLERS = {
     "cifar10": prepare_cifar, "cifar100": prepare_cifar,
     "mnist": prepare_idx, "fmnist": prepare_idx, "emnist": prepare_idx,
     "mvtec": prepare_mvtec, "cub": prepare_cub, "dtd": prepare_dtd,
     "tinyimages": prepare_tinyimages, "clip": prepare_clip,
+    "imagenet30": prepare_imagenet30, "imagenet21k": prepare_imagenet21k,
+    "imagenet21ksubset": prepare_imagenet21ksubset, "custom": prepare_custom,
+}
+
+CHECKERS = {
+    "cifar10": check_cifar, "cifar100": check_cifar,
+    "mnist": check_idx, "fmnist": check_idx, "emnist": check_idx,
+    "mvtec": check_mvtec, "cub": check_cub_only, "dtd": check_dtd,
+    "tinyimages": check_tinyimages, "clip": check_clip,
+    "imagenet30": check_imagenet30, "imagenet21k": check_imagenet21k,
+    "imagenet21ksubset": check_imagenet21ksubset, "custom": check_custom,
 }
 
 
@@ -263,7 +494,7 @@ def main(argv=None) -> str:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("dataset", choices=sorted(HANDLERS))
-    p.add_argument("archives", nargs="+", help="user-provided archive file(s)")
+    p.add_argument("archives", nargs="*", help="user-provided archive file(s)")
     p.add_argument("--datapath", type=str, default=None,
                    help="data root (default: the runners' default datapath); "
                         "raw layouts land in <datapath>/datasets/<ds>/")
@@ -271,14 +502,39 @@ def main(argv=None) -> str:
                    help="skip digest/size verification (use for self-built or "
                         "re-packaged archives)")
     p.add_argument("--blob-resolution", type=int, default=None,
-                   help="mvtec only: also build the admvtec_{r}x{r}.npz blob")
+                   help="mvtec: build (or with --check-only, require) the "
+                        "admvtec_{r}x{r}.npz blob")
+    p.add_argument("--check-only", action="store_true",
+                   help="validate the existing on-disk layout only; no "
+                        "extraction or placement")
+    p.add_argument("--build-subset", type=int, default=None, metavar="N",
+                   help="imagenet21ksubset: build the subset (N images/class) "
+                        "from the prepared imagenet21k tree")
+    p.add_argument("--subset-size", type=int, default=256,
+                   help="imagenet21ksubset --build-subset: resize resolution")
+    p.add_argument("--custom-root", type=str, default=None,
+                   help="custom: dataset root to validate (default "
+                        "<datapath>/datasets/custom)")
+    p.add_argument("--train-only", action="store_true",
+                   help="custom: validate a split-less training root "
+                        "(normal/ folder)")
+    p.add_argument("--eval-only", action="store_true",
+                   help="custom: validate a split-less inference root")
     args = p.parse_args(argv)
 
+    datapath = args.datapath or default_datapath()
+    root = pt.join(datapath, "datasets")
+    if args.check_only:
+        if args.archives:
+            p.error("--check-only takes no archives")
+        out = CHECKERS[args.dataset](root, args)
+        print(f"{args.dataset} layout OK at {out}")
+        return out
+    if not args.archives and args.dataset not in ("imagenet21ksubset", "custom"):
+        p.error("archives required (or pass --check-only)")
     for a in args.archives:
         if not pt.isfile(a):
             raise FileNotFoundError(a)
-    datapath = args.datapath or default_datapath()
-    root = pt.join(datapath, "datasets")
     out = HANDLERS[args.dataset](args.dataset, args.archives, root, args)
     print(f"{args.dataset} ready at {out}")
     return out

@@ -161,3 +161,131 @@ def test_prepare_tinyimages_size_gate(tmp_path):
         main(["tinyimages", str(f), "--datapath", str(tmp_path)])
     out = main(["tinyimages", str(f), "--datapath", str(tmp_path), "--skip-hash"])
     assert pt.exists(out)
+
+
+# ------------------------------------------------- acceptance-config datasets
+
+
+def _imagenet30_tree(tmp_path, n_img=2, splits=("train", "val")):
+    from eoe_tpu.datasets.imagenet import AD_CLASSES
+    root = tmp_path / "dp" / "datasets" / "imagenet_ad"
+    for split in splits:
+        for c in AD_CLASSES:
+            d = root / split / c
+            d.mkdir(parents=True, exist_ok=True)
+            for i in range(n_img):
+                (d / f"{c}_{i}.png").write_bytes(_png_bytes(seed=i))
+    return tmp_path / "dp"
+
+
+def test_check_imagenet30_valid_and_missing_class(tmp_path):
+    dp = _imagenet30_tree(tmp_path)
+    out = main(["imagenet30", "--check-only", "--datapath", str(dp)])
+    assert out.endswith("imagenet_ad")
+    # removing one AD class folder must fail with the class named
+    import shutil
+    from eoe_tpu.datasets.imagenet import AD_CLASSES
+    shutil.rmtree(str(dp / "datasets" / "imagenet_ad" / "val" / AD_CLASSES[3]))
+    with pytest.raises(FileNotFoundError, match=AD_CLASSES[3]):
+        main(["imagenet30", "--check-only", "--datapath", str(dp)])
+
+
+def test_prepare_imagenet30_from_archive(tmp_path):
+    from eoe_tpu.datasets.imagenet import AD_CLASSES
+    tree = {}
+    for split in ("train", "val"):
+        for c in AD_CLASSES:
+            tree[f"{split}/{c}/a.png"] = _png_bytes()
+    arc = _tar_from_tree(tree, str(tmp_path / "in30.tar.gz"))
+    dp = tmp_path / "dp"
+    out = main(["imagenet30", arc, "--datapath", str(dp)])
+    assert pt.isdir(pt.join(out, "train", AD_CLASSES[0]))
+
+
+def test_check_imagenet21k_counts_and_overlap(tmp_path, capsys):
+    from eoe_tpu.datasets.imagenet import IMAGENET1K_WNIDS
+    root = tmp_path / "dp" / "datasets" / "imagenet22k" / "fall11_whole_extracted"
+    wnids = ["n00000001", "n00000002", sorted(IMAGENET1K_WNIDS)[0]]
+    for w in wnids:
+        d = root / w
+        d.mkdir(parents=True)
+        (d / "img.png").write_bytes(_png_bytes())
+    main(["imagenet21k", "--check-only", "--datapath", str(tmp_path / "dp")])
+    outp = capsys.readouterr().out
+    assert "3 wnid folders" in outp and "1 of the 30" in outp
+    # empty tree fails
+    with pytest.raises(FileNotFoundError):
+        main(["imagenet21k", "--check-only", "--datapath", str(tmp_path / "empty")])
+
+
+def test_build_imagenet21ksubset_from_tree(tmp_path):
+    root = tmp_path / "dp" / "datasets" / "imagenet22k" / "fall11_whole_extracted"
+    for w in ("n00000001", "n00000002"):
+        d = root / w
+        d.mkdir(parents=True)
+        for i in range(4):
+            (d / f"{w}_{i}.png").write_bytes(_png_bytes(seed=i))
+    out = main(["imagenet21ksubset", "--build-subset", "2",
+                "--subset-size", "32", "--datapath", str(tmp_path / "dp")])
+    files = sorted(os.listdir(pt.join(out, "n00000001")))
+    assert len(files) == 2 and files[0].endswith(".jpg")
+    # and the check-only pass now succeeds
+    main(["imagenet21ksubset", "--check-only", "--datapath", str(tmp_path / "dp")])
+
+
+def test_check_custom_layout_modes(tmp_path):
+    # general layout: class folders with normal/anomalous
+    dp = tmp_path / "dp"
+    for split in ("train", "test"):
+        for cls in ("widget", "gadget"):
+            for sub in ("normal", "anomalous"):
+                d = dp / "datasets" / "custom" / split / cls / sub
+                d.mkdir(parents=True)
+                (d / "x.png").write_bytes(_png_bytes())
+    out = main(["custom", "--check-only", "--datapath", str(dp)])
+    assert out.endswith("custom")
+
+    # one-vs-rest layout: plain class folders
+    dp2 = tmp_path / "dp2"
+    for split in ("train", "test"):
+        for cls in ("dog", "cat"):
+            d = dp2 / "datasets" / "custom" / split / cls
+            d.mkdir(parents=True)
+            (d / "x.png").write_bytes(_png_bytes())
+    main(["custom", "--check-only", "--datapath", str(dp2)])
+
+    # mismatched train/test classes fail
+    import shutil
+    shutil.rmtree(str(dp2 / "datasets" / "custom" / "test" / "cat"))
+    with pytest.raises(ValueError, match="do not match"):
+        main(["custom", "--check-only", "--datapath", str(dp2)])
+
+
+def test_check_custom_split_less_roots(tmp_path):
+    root = tmp_path / "r"
+    (root / "normal").mkdir(parents=True)
+    main(["custom", "--check-only", "--train-only", "--custom-root", str(root),
+          "--datapath", str(tmp_path / "dp")])
+    # eval-only with only an anomalous folder passes; bogus folder fails
+    root2 = tmp_path / "r2"
+    (root2 / "anomalous").mkdir(parents=True)
+    main(["custom", "--check-only", "--eval-only", "--custom-root", str(root2),
+          "--datapath", str(tmp_path / "dp")])
+    (root2 / "garbage").mkdir()
+    with pytest.raises(ValueError, match="garbage"):
+        main(["custom", "--check-only", "--eval-only", "--custom-root",
+              str(root2), "--datapath", str(tmp_path / "dp")])
+
+
+def test_check_only_existing_datasets(tmp_path):
+    """--check-only for the archive-placed datasets validates the layout
+    without archives (here: cifar10 golden path + failure)."""
+    import pickle
+    dest = tmp_path / "dp" / "datasets" / "cifar10" / "cifar-10-batches-py"
+    dest.mkdir(parents=True)
+    for f in [f"data_batch_{i}" for i in range(1, 6)] + ["test_batch"]:
+        (dest / f).write_bytes(pickle.dumps({"data": b""}))
+    main(["cifar10", "--check-only", "--datapath", str(tmp_path / "dp")])
+    os.remove(str(dest / "test_batch"))
+    with pytest.raises(FileNotFoundError, match="test_batch"):
+        main(["cifar10", "--check-only", "--datapath", str(tmp_path / "dp")])
