@@ -61,6 +61,8 @@ def main(argv=None):
     from eoe_tpu.training.clip import ClipTrainer
     from eoe_tpu.utils.logger import Logger
 
+    # user-facing "imagenet30" = registry key "imagenet" (the 30-class AD set)
+    args.dataset = {"imagenet30": "imagenet"}.get(args.dataset, args.dataset)
     trainer = ClipTrainer(
         model=None, train_specs=[], test_specs=[], dataset=args.dataset,
         oe_dataset=None, datapath=raw, logger=Logger(args.logpath, comment="zeroshot"),

@@ -356,3 +356,37 @@ def test_clip_grayscale_dataset_rgb_expansion(tmp_path, clip_trainer_parts):
         clip_config=cfg, clip_variables=variables)
     _, res = trainer.run(run_classes=[0], run_seeds=1)
     assert np.isfinite(res["mean_auc"])
+
+
+def test_finetune_smoke_plumbing(tmp_path, clip_trainer_parts, capsys, monkeypatch):
+    """experiments/finetune_smoke.py end-to-end with a tiny injected CLIP and
+    fake cifar data: trains 1 epoch, prints the loss/AUC trajectory + final
+    AUROC JSON (acceptance-config coverage, BASELINE.md CLIP fine-tune)."""
+    import importlib.util
+    import os.path as pt
+    spec = importlib.util.spec_from_file_location(
+        "finetune_smoke", pt.join(pt.dirname(pt.dirname(pt.abspath(__file__))),
+                                  "experiments", "finetune_smoke.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.setenv("EOE_TPU_FAKE_DATA", "1")
+    rc = mod.main(["--dataset", "cifar10", "--epochs", "1", "--classes", "0",
+                   "--batch-size", "16", "--datapath", str(tmp_path / "data"),
+                   "--logpath", str(tmp_path / "log")],
+                  clip_parts=clip_trainer_parts)
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    import json as _json
+    rec = _json.loads(out)
+    assert rec["smoke"].startswith("CLIP ViT-B/32 fine-tune cifar10")
+    assert np.isfinite(rec["mean_auc"])
+    assert any(len(v) == 1 for v in rec["loss_trajectory"].values())
+
+    # without a checkpoint and without injection it must skip cleanly
+    monkeypatch.delenv("EOE_TPU_CLIP_CHECKPOINT", raising=False)
+    monkeypatch.setenv("HOME", str(tmp_path))  # no ~/.cache/clip fallback
+    rc = mod.main(["--dataset", "cifar10", "--datapath", str(tmp_path / "d2"),
+                   "--logpath", str(tmp_path / "log2")])
+    assert rc == 0
+    assert "SKIP: no CLIP checkpoint" in capsys.readouterr().out
