@@ -341,6 +341,53 @@ def _partitioned_call(kind: str, out_feats: int, heads: int, d: int,
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _vmappable_call(kind: str, out_feats: int, heads: int, d: int,
+                    s_pad: int, s_real: int, causal: bool):
+    """custom_vmap wrapper over the partitioned kernel call: a vmapped axis
+    (seed-vmapped grids, vmapped evolution candidates) collapses into the
+    kernel's leading batch dim instead of forcing the einsum fallback — the
+    block-diagonal cell masking already isolates images, so (K, n, s, F) ->
+    (K*n, s, F) is exact. Rules recurse through the wrapper so nested vmaps
+    peel one level each."""
+    from jax.custom_batching import custom_vmap
+
+    inner = _partitioned_call(kind, out_feats, heads, d, s_pad, s_real, causal)
+
+    if kind == "fwd":
+        @custom_vmap
+        def op(qkv):
+            return inner(qkv)
+
+        @op.def_vmap
+        def _rule(axis_size, in_batched, qkv):
+            if not in_batched[0]:
+                return op(qkv), False
+            K, n, s, F = qkv.shape
+            out = op(qkv.reshape(K * n, s, F))
+            return out.reshape(K, n, s, out_feats), True
+
+        return op
+
+    @custom_vmap
+    def op2(qkv, g):
+        return inner(qkv, g)
+
+    @op2.def_vmap
+    def _rule2(axis_size, in_batched, qkv, g):
+        if not any(in_batched):
+            return op2(qkv, g), False
+        if not in_batched[0]:
+            qkv = jnp.broadcast_to(qkv[None], (axis_size,) + qkv.shape)
+        if not in_batched[1]:
+            g = jnp.broadcast_to(g[None], (axis_size,) + g.shape)
+        K, n, s, F = qkv.shape
+        out = op2(qkv.reshape(K * n, s, F), g.reshape(K * n, s, g.shape[-1]))
+        return out.reshape(K, n, s, out_feats), True
+
+    return op2
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_qkv_attention(qkv: jax.Array, heads: int, causal: bool = False) -> jax.Array:
     """Multi-head self-attention fused over the concatenated projection.
@@ -375,7 +422,7 @@ def _fused_fwd(qkv, heads, causal):
     _check_fused_shape(heads, d, s)
     s_pad = _round_up(s, 16)  # bf16 sublane tile
     qkv_p = _qkv_pad(qkv, s_pad)
-    out = _partitioned_call("fwd", D, heads, d, s_pad, s, causal)(qkv_p)
+    out = _vmappable_call("fwd", D, heads, d, s_pad, s, causal)(qkv_p)
     return out[:, :s, :], (qkv_p,)
 
 
@@ -386,36 +433,26 @@ def _fused_bwd(heads, causal, residuals, g):
     d = D // heads
     s = g.shape[1]
     g_p = _qkv_pad(g, s_pad)
-    dqkv = _partitioned_call("bwd", F, heads, d, s_pad, s, causal)(qkv_p, g_p)
+    dqkv = _vmappable_call("bwd", F, heads, d, s_pad, s, causal)(qkv_p, g_p)
     return (dqkv[:, :s, :],)
 
 
 fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
-def _is_vmapped(x) -> bool:
-    """Whether ``x`` is being traced under jax.vmap. custom_partitioning has
-    no batching rule, so the fused kernel must yield to the einsum path
-    inside vmapped programs (seed-vmapped grids, vmapped evolution)."""
-    try:
-        from jax.interpreters.batching import BatchTracer
-        return isinstance(x, BatchTracer)
-    except Exception:  # pragma: no cover - jax internals moved
-        return type(x).__name__ == "BatchTracer"
-
-
 def fused_qkv_ok(n: int, s: int, heads: int, d: int, sample=None) -> bool:
     """Whether the fused kernel applies: real TPU backend, head dim on a
-    64-lane boundary, sequence within the single-block budget, and not under
-    jax.vmap (``sample``: pass a representative traced input). Returns False
-    under a CPU ``jax.default_device`` context (e.g. the trainer's CPU-side
-    model init) — the einsum path used there builds identical params."""
+    64-lane boundary, sequence within the single-block budget. Vmapped
+    programs (seed-vmapped grids, vmapped evolution) are eligible too: the
+    custom_vmap rules collapse the vmap axis into the kernel's batch dim
+    (``sample`` is accepted for API compatibility, no longer consulted).
+    Returns False under a CPU ``jax.default_device`` context (e.g. the
+    trainer's CPU-side model init) — the einsum path used there builds
+    identical params."""
     import os
     if os.environ.get("EOE_TPU_FUSED_ATTN", "1") != "1":
         return False
     if jax.default_backend() != "tpu":
-        return False
-    if sample is not None and _is_vmapped(sample):
         return False
     dd = getattr(jax.config, "jax_default_device", None)
     if dd is not None and getattr(dd, "platform", None) == "cpu":

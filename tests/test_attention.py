@@ -103,17 +103,43 @@ def test_fused_qkv_gate():
     assert not fused_qkv_ok(4, 50, 12, 64)  # tests run on the CPU backend
 
 
-def test_fused_gate_rejects_vmap():
-    """custom_partitioning has no vmap batching rule: the gate must detect a
-    vmapped trace (seed-vmapped grids, vmapped evolution) and fall back."""
-    from eoe_tpu.ops.attention import _is_vmapped
-    seen = []
+def test_fused_qkv_vmapped_forward_matches(rng):
+    """Vmapped programs (seed-vmapped grids, vmapped evolution candidates)
+    keep the fused kernel: the custom_vmap rule collapses the vmap axis into
+    the kernel batch dim, exactly (block-diagonal cells isolate images)."""
+    from eoe_tpu.ops.attention import fused_qkv_attention
+    K, n, s, h, d = 3, 2, 18, 2, 64
+    D = h * d
+    qkv = jnp.asarray(rng.normal(0, 1, (K, n, s, 3 * D)), jnp.float32)
+    out = jax.vmap(lambda x: fused_qkv_attention(x, h, False))(qkv)
+    for k in range(K):
+        ref = _ref_from_qkv(qkv[k], n, s, h, d, None)
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref), atol=1e-5)
 
-    def f(x):
-        seen.append(_is_vmapped(x))
-        return x
 
-    jax.vmap(f)(jnp.zeros((2, 3)))
-    assert seen == [True]
-    f(jnp.zeros((3,)))
-    assert seen[-1] is False
+def test_fused_qkv_vmapped_gradients_match(rng):
+    from eoe_tpu.ops.attention import fused_qkv_attention
+    K, n, s, h, d, causal = 2, 2, 21, 2, 64, True
+    D = h * d
+    qkv = jnp.asarray(rng.normal(0, 1, (K, n, s, 3 * D)), jnp.float32)
+    g = jnp.asarray(rng.normal(0, 1, (K, n, s, D)), jnp.float32)
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1)
+
+    def loss_fused(x, gk):
+        return (fused_qkv_attention(x, h, causal) * gk).sum()
+
+    g_fused = jax.vmap(jax.grad(loss_fused))(qkv, g)
+    for k in range(K):
+        g_ref = jax.grad(lambda x: (_ref_from_qkv(x, n, s, h, d, mask) * g[k]).sum())(qkv[k])
+        np.testing.assert_allclose(np.asarray(g_fused[k]), np.asarray(g_ref), atol=1e-4)
+
+
+def test_fused_qkv_nested_vmap(rng):
+    """Nested vmaps peel one level per custom_vmap rule application."""
+    from eoe_tpu.ops.attention import fused_qkv_attention
+    K2, K1, n, s, h, d = 2, 2, 1, 10, 2, 64
+    D = h * d
+    qkv = jnp.asarray(rng.normal(0, 1, (K2, K1, n, s, 3 * D)), jnp.float32)
+    out = jax.vmap(jax.vmap(lambda x: fused_qkv_attention(x, h, False)))(qkv)
+    ref = _ref_from_qkv(qkv[1, 0], n, s, h, d, None)
+    np.testing.assert_allclose(np.asarray(out[1, 0]), np.asarray(ref), atol=1e-5)
