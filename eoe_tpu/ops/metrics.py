@@ -173,6 +173,17 @@ class RunningStats:
         return np.asarray(jnp.sqrt(self.m2 / jnp.maximum(self.n - 1.0, 1.0)))
 
 
+@jax.jit
+def _channel_sums(x):
+    # reduce the leading axes of the natural (n, h, w, c) layout in one
+    # fusion. Do NOT reshape to (n*h*w, c): a 2D array with a 3-lane minor
+    # dim is a pathological TPU shape — jnp.std over f32[102M, 3] measured
+    # ~9 MINUTES on v5e where this form takes ~45ms.
+    xf = x.astype(jnp.float32) / (255.0 if x.dtype == jnp.uint8 else 1.0)
+    axes = tuple(range(x.ndim - 1))
+    return jnp.sum(xf, axis=axes), jnp.sum(jnp.square(xf), axis=axes)
+
+
 def channel_stats(images) -> Tuple[np.ndarray, np.ndarray]:
     """One-shot per-channel mean/std of an (n, h, w, c) uint8/float array.
 
@@ -180,10 +191,9 @@ def channel_stats(images) -> Tuple[np.ndarray, np.ndarray]:
     split (bases.py:334-345) but as a single jitted reduction on device.
     """
     x = jnp.asarray(images)
-    if x.dtype == jnp.uint8:
-        x = x.astype(jnp.float32) / 255.0
-    x = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
-    mean = jnp.mean(x, axis=0)
+    n = float(np.prod(x.shape[:-1]))
+    s1, s2 = _channel_sums(x)
+    mean = np.asarray(s1) / n
     # reference uses the unbiased (n-1) std of the per-pixel sample population
-    std = jnp.std(x, axis=0, ddof=1)
-    return np.asarray(mean), np.asarray(std)
+    var = (np.asarray(s2) - n * mean ** 2) / max(n - 1.0, 1.0)
+    return mean, np.sqrt(np.maximum(var, 0.0))

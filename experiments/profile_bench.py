@@ -29,20 +29,23 @@ sys.path.insert(0, pt.dirname(pt.dirname(pt.abspath(__file__))))
 
 def run_profiled_epochs(steps: int, logdir: str, model: str = "clip"):
     import os
-    # profile in 4-step dispatches: single whole-epoch programs can outlive
-    # the profiler's event buffer and yield an empty device trace
-    os.environ.setdefault("EOE_TPU_CHUNK", "4")
     import jax
     import jax.random as jrandom
 
     import bench
+    from eoe_tpu.main import _enable_compile_cache
     from eoe_tpu.utils.logger import Logger
     from eoe_tpu.utils.profiling import profile
 
+    # Cache discipline: the packed all-epochs index-plan shape is baked into
+    # the epoch program, so profiling MUST run with the same epoch count (and
+    # chunking) as the bench — otherwise every profile run recompiles the
+    # model from scratch (~15-20 min for WRN@224) instead of hitting the
+    # persistent cache the bench already populated.
+    _enable_compile_cache()
     trainer, ds = bench.build_trainer(model, Logger("/tmp/eoe_tpu_prof_run", active=False))
-    trainer.epochs = 2  # epoch 1 compiles; epoch 2 is steady-state warmup
+    # full warmup run: compiles (or cache-loads) + reaches steady state
     trainer.train_cls(ds, 0, "warmup", 0, jrandom.key(0))
-    trainer.epochs = 3
     with profile(logdir):
         trainer.train_cls(ds, 0, "profiled", 0, jrandom.key(0))
     print(f"steady-state epoch rates: {[round(r) for r in trainer.epoch_rates]}")
