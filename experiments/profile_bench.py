@@ -79,6 +79,11 @@ def parse_trace(logdir: str, topk: int = 25):
         if (e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e
                 and (e["pid"], e.get("tid")) in op_tids):
             name = e["name"]
+            # control-flow wrappers (the whole-epoch scan's while) span their
+            # children, which are ALSO emitted as leaf events — counting both
+            # double-counts every op inside the epoch loop
+            if name.startswith(("while", "conditional")):
+                continue
             op_total[name] += e["dur"]
             op_count[name] += 1
             total += e["dur"]
@@ -99,10 +104,16 @@ def parse_trace(logdir: str, topk: int = 25):
             cats["conv"] += dur
         elif any(k in n for k in ("dot", "matmul", "einsum")):
             cats["matmul"] += dur
+        elif "custom-call" in n or "custom_call" in n:
+            cats["custom-call(pallas)"] += dur
         elif any(k in n for k in ("copy", "transpose", "bitcast", "reshape")):
             cats["copy/transpose"] += dur
+        elif "select-and-scatter" in n:
+            cats["pool-backward"] += dur
+        elif "reduce" in n and "fusion" in n:
+            cats["reduce-fusion(BN stats/grads, pools)"] += dur
         elif "fusion" in n:
-            cats["fusion(misc)"] += dur
+            cats["elementwise-fusion"] += dur
         elif any(k in n for k in ("all-reduce", "all-gather", "reduce-scatter")):
             cats["collective"] += dur
         else:
