@@ -107,7 +107,11 @@ def default_argsparse(modify_descr: Callable[[str], str],
                         help="Data root (default: $EOE_TPU_DATAPATH or ./data).")
     parser.add_argument("--vmap-seeds", action="store_true",
                         help="Train all seeds of a class as ONE vmapped program "
-                             "(device-resident datasets; TPU-native grid parallelism).")
+                             "(device-resident datasets; TPU-native grid "
+                             "parallelism). Best for from-scratch models with "
+                             "many epochs: ~3x for 8 CNN32 seeds at 25 epochs, "
+                             "growing with epoch count; no benefit for CLIP "
+                             "(pretrained init makes seed replicas identical).")
     if modify_parser is not None:
         modify_parser(parser)
     args = parser.parse_args(argv)

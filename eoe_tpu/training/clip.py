@@ -121,6 +121,14 @@ class ClipTrainer(Trainer):
         return TrainState(params=params, batch_stats=batch_stats,
                           opt_state=tx.init(trainable), step=jnp.zeros((), jnp.int32))
 
+    def init_states_stacked(self, keys, ds, steps_per_epoch: int) -> TrainState:
+        # every seed starts from the SAME pretrained weights (no weight reset),
+        # so the stacked state is a broadcast of one init — materialized via
+        # repeat because the jitted epoch donates (and thus deletes) its input
+        base = self.init_state(keys[0], ds, steps_per_epoch)
+        return jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x[None], len(keys), axis=0), base)
+
     def make_optimizer(self, steps_per_epoch: int):
         return make_optimizer("sgd", self.lr, self.wdk, self.milestones, steps_per_epoch)
 

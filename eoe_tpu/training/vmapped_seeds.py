@@ -10,11 +10,20 @@ training instead of ten for models that fit K-fold in HBM.
 Used by ``Trainer.run(..., vmap_seeds=True)`` for device-resident datasets
 without snapshot resume; falls back to the sequential path otherwise.
 
-Best for from-scratch models (measured 1.52x for 8 CNN32 seeds on one v5e).
-NOT useful for CLIP: the pretrained weights make all seed replicas identical
-(only the data order differs), and per-seed model init dominates short runs.
+Best for from-scratch models on many-epoch configs: for 8 CNN32 seeds on one
+v5e the train phase measured 3.1x over sequential at 25 epochs (3.7s vs
+11.6s) with a ~15x lower marginal per-epoch cost — the sequential path syncs
+per epoch for its live loss/AUC log line, the vmapped path only downloads the
+last epoch. Fixed per-run costs (stacked CPU-side init shipped as one
+batched transfer, one packed plan upload, one packed result download) are
+small enough that the vmapped path is never slower; at toy epoch counts the
+class grid is dominated by per-seed eval/snapshot/plot costs common to both
+paths. NOT useful for CLIP: the pretrained weights make all seed replicas
+identical (only the data order differs).
 """
 
+import os
+import time as _time
 from typing import List, Optional, Tuple
 
 import jax
@@ -38,24 +47,46 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
     has_oe = combined and len(oe_set) > 0
     B = trainer.batch_size
 
+    # EOE_TPU_TIMING=1 prints the host-side phase breakdown that drove the
+    # packed-download work (init / upload / dispatch / download costs).
+    _tlog = (lambda tag, t0: print(f"    [vmap-seeds] {tag}: {_time.time() - t0:.2f}s",
+                                   flush=True)) \
+        if os.environ.get("EOE_TPU_TIMING") else (lambda tag, t0: None)
+    _t = _time.time()
+    # all per-seed key derivations in ONE dispatch each (a per-seed
+    # jax.random.randint loop cost ~150ms/seed in tunnel round-trips)
+    keys_d = jnp.stack(keys)
+    derive_keys = trainer._cached(
+        ("vmap_seed_keys", n_seeds, trainer.epochs),
+        lambda: jax.jit(lambda ks: (
+            jax.vmap(lambda k: jax.random.randint(
+                jax.random.fold_in(k, 1), (), 0, 2 ** 31 - 1))(ks),
+            jax.vmap(lambda ep: jax.vmap(lambda k: jax.random.fold_in(
+                jax.random.fold_in(k, 2), ep))(ks))(
+                    jnp.arange(max(trainer.epochs, 1))))))
+    sampler_seeds, ekeys_all = derive_keys(keys_d)
+    sampler_seeds = np.asarray(sampler_seeds)
     samplers = [BalancedEpochSampler(
-        len(train_set), len(oe_set) if has_oe else 0, B,
-        int(jax.random.randint(jax.random.fold_in(k, 1), (), 0, 2 ** 31 - 1)))
-        for k in keys]
+        len(train_set), len(oe_set) if has_oe else 0, B, int(s))
+        for s in sampler_seeds]
     steps = samplers[0].steps
     tx = trainer.make_optimizer(steps)
 
-    # per-seed model replicas (different init keys)
-    states = [trainer.init_state(k, ds, steps) for k in keys]
-    states = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    _tlog("samplers+tx", _t); _t = _time.time()
+    # per-seed model replicas (different init keys) — CPU init, host stack,
+    # one batched upload (the per-seed init/upload loop cost ~250ms/seed)
+    states = trainer.init_states_stacked(keys, ds, steps)
+    _tlog(f"init_states_stacked x{n_seeds}", _t); _t = _time.time()
     center = trainer.center = trainer.prepare_metric(
         clsstr, ds, jax.tree_util.tree_map(lambda x: x[0], states), 0)
     rt_stats = trainer._rt_stats(ds)
+    _tlog("prepare_metric", _t); _t = _time.time()
 
     Xn = jnp.asarray(train_set.gather_all())
     Ln = jnp.asarray(normal_ds.binary_targets(train_set))
     Xo = jnp.asarray(oe_set.gather_all()) if has_oe else None
     Lo = jnp.asarray(ds.oe.binary_targets(oe_set)) if has_oe else None
+    _tlog("data upload", _t); _t = _time.time()
 
     def build_epoch_vmapped():
         from eoe_tpu.training.trainer import scan_ok
@@ -119,10 +150,12 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
              else np.zeros((n_seeds, steps, B), np.int32)),
             np.stack([p[2] for p in plans]).astype(np.int32)])
 
+    _tlog("build/jit epoch fn", _t); _t = _time.time()
     per_epoch = [pack_epoch() for _ in range(trainer.epochs)]
     all_plans = np.stack(per_epoch) if per_epoch else None
     plans_d = (jnp.asarray(all_plans)
                if all_plans is not None and all_plans.nbytes <= 64 * 2 ** 20 else None)
+    _tlog("plan sampling + upload", _t); _t = _time.time()
 
     last = None
     for ep in range(trainer.epochs):
@@ -130,19 +163,22 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
         idx_n = plan[0]
         idx_o = plan[1] if has_oe else plan[1][:, :, :1]
         w = plan[2].astype(jnp.float32)
-        ekeys = jnp.stack([jax.random.fold_in(jax.random.fold_in(k, 2), ep)
-                           for k in keys])
         states, last = epoch_vmapped(states, Xn, Ln, Xo, Lo, idx_n, idx_o, w,
-                                     ekeys, center, rt_stats)
+                                     ekeys_all[ep], center, rt_stats)
+    jax.block_until_ready(states)
+    _tlog(f"epoch dispatches x{trainer.epochs}", _t); _t = _time.time()
 
+    # ONE packed download for every seed's last-epoch outputs (per-seed
+    # np.asarray paid the fixed per-transfer latency 3*n_seeds times)
+    last_h = jax.device_get((last[1], last[2], last[3])) if last is not None else None
     results = []
     for s in range(n_seeds):
         state = jax.tree_util.tree_map(lambda x: x[s], states)
         roc = None
         if last is not None:
-            scores = np.asarray(last[1][s]).reshape(-1)
-            labels = np.asarray(last[2][s]).reshape(-1)
-            weights = np.asarray(last[3][s]).reshape(-1)
+            scores = np.asarray(last_h[0][s]).reshape(-1)
+            labels = np.asarray(last_h[1][s]).reshape(-1)
+            weights = np.asarray(last_h[2][s]).reshape(-1)
             keep = weights > 0
             if np.isnan(scores[keep]).any():
                 from eoe_tpu.training.trainer import NanGradientsError
@@ -150,4 +186,5 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
             if (labels[keep] == 1).sum() > 0:
                 roc = M.roc_curve(labels[keep], scores[keep])
         results.append((state, roc))
+    _tlog("results download + rocs", _t)
     return results

@@ -315,6 +315,25 @@ def test_clip_leave_one_out_prompts(tmp_path, clip_trainer_parts):
     assert trainer.raw_texts[-1] == "a photo of something"
 
 
+def test_clip_vmap_seeds_keeps_pretrained_init(tmp_path, clip_trainer_parts):
+    """Seed-vmapped CLIP: the stacked init must broadcast the PRETRAINED
+    weights (the base-class stacked init draws fresh random weights), and a
+    2-seed vmapped run trains end-to-end."""
+    cfg, variables = clip_trainer_parts
+    trainer = make_clip_trainer(tmp_path, cfg, variables, epochs=1)
+    import numpy as _np
+    ds = trainer._build_dataset(0, _np.random.default_rng(0), None)
+    keys = [jax.random.fold_in(jax.random.key(0), i) for i in range(2)]
+    stacked = trainer.init_states_stacked(keys, ds, steps_per_epoch=2)
+    ref = variables["params"]["visual"]["patch_embed"]["kernel"]
+    got = stacked.params["visual"]["patch_embed"]["kernel"]
+    assert got.shape[0] == 2
+    _np.testing.assert_allclose(_np.asarray(got[0]), _np.asarray(ref), rtol=0, atol=0)
+    _np.testing.assert_allclose(_np.asarray(got[1]), _np.asarray(ref), rtol=0, atol=0)
+    _, res = trainer.run(run_classes=[0], run_seeds=2, vmap_seeds=True)
+    assert np.isfinite(res["mean_auc"])
+
+
 def test_clip_requires_none_model(tmp_path, clip_trainer_parts):
     cfg, variables = clip_trainer_parts
     from eoe_tpu.models.cnn import CNN32

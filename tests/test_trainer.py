@@ -171,6 +171,20 @@ def test_vmap_seeds_matches_grid_semantics(tmp_path):
     assert s0 != s1
 
 
+def test_init_states_stacked_matches_per_seed(tmp_path):
+    """The one-transfer stacked init is bit-equal to the per-seed init_state
+    loop it replaced (params, batch_stats, opt_state, step)."""
+    trainer = make_trainer(tmp_path, "hsc", epochs=1, model=CNN32(rep_dim=32))
+    ds = trainer._build_dataset(0, np.random.default_rng(0), None)
+    keys = [jax.random.fold_in(jax.random.key(0), i) for i in range(3)]
+    stacked = trainer.init_states_stacked(keys, ds, steps_per_epoch=4)
+    for i, k in enumerate(keys):
+        single = trainer.init_state(k, ds, steps_per_epoch=4)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a[i]), np.asarray(b)),
+            stacked, single)
+
+
 def test_nan_retry_gives_up_gracefully(tmp_path):
     """NaN scores raise NanGradientsError; run() retries 5x then records None
     for the combo instead of crashing (ad_trainer.py:257-280 semantics)."""
