@@ -110,8 +110,13 @@ class MultiHeadAttention(nn.Module):
             # Pallas fused path: consumes the un-transposed joint projection.
             # It only supports no-mask or the standard causal mask — callers
             # promise causality explicitly via ``causal`` (the text encoder);
-            # any other additive mask takes the general einsum path. Skipped
-            # under vmap (custom_partitioning has no batching rule).
+            # any other additive mask takes the general einsum path.
+            # (Measured negative result, v5e: pre-padding the projection at
+            # the model level — pad between the qkv GEMM and its bias add so
+            # the kernel's pad vanishes — LOSES 6% end-to-end: splitting the
+            # bias out of nn.Dense costs the GEMM its fused epilogue and adds
+            # a full extra HBM materialization per layer. The standalone pad
+            # is cheaper; fused_qkv_attention keeps it internal.)
             if fused_qkv_ok(n, s, self.heads, hd, sample=x) and (mask is None or causal):
                 attn = fused_qkv_attention(qkv, self.heads, causal)
                 return nn.Dense(d, dtype=self.dtype, name="attn_out")(attn)

@@ -388,7 +388,47 @@ def _vmappable_call(kind: str, out_feats: int, heads: int, d: int,
     return op2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def fused_qkv_attention_padded(qkv_p: jax.Array, heads: int, s_real: int,
+                               causal: bool = False) -> jax.Array:
+    """Like :func:`fused_qkv_attention`, but consumes an ALREADY sequence-
+    padded projection (n, round_up(s_real, 16), 3*D) and returns the
+    unpadded (n, s_real, D) attention output.
+
+    Split out so producers that already hold a padded sequence can skip the
+    wrapper's pad/slice pair. Pad rows may hold arbitrary FINITE values: as
+    keys they are masked via ``s_real``, as queries their outputs are sliced
+    away, and the backward's pad-row cotangents are exactly zero, so the
+    returned padded ``dqkv`` keeps upstream gradients exact."""
+    out, _ = _fused_fwd_padded(qkv_p, heads, s_real, causal)
+    return out
+
+
+def _fused_fwd_padded(qkv_p, heads, s_real, causal):
+    n, s_pad, F = qkv_p.shape
+    D = F // 3
+    d = D // heads
+    _check_fused_shape(heads, d, s_real)
+    if s_pad != _round_up(s_real, 16):
+        raise ValueError(f"qkv_p sequence dim {s_pad} != round_up({s_real}, 16)")
+    out = _vmappable_call("fwd", D, heads, d, s_pad, s_real, causal)(qkv_p)
+    return out[:, :s_real, :], (qkv_p,)
+
+
+def _fused_bwd_padded(heads, s_real, causal, residuals, g):
+    (qkv_p,) = residuals
+    _, s_pad, F = qkv_p.shape
+    D = F // 3
+    d = D // heads
+    g_p = _qkv_pad(g, s_pad)
+    dqkv = _vmappable_call("bwd", F, heads, d, s_pad, s_real, causal)(qkv_p, g_p)
+    return (dqkv,)  # padded cotangent: pad rows are exactly zero (masked keys,
+    #                 zero pad-row g), so the producer's pad op needs no slice
+
+
+fused_qkv_attention_padded.defvjp(_fused_fwd_padded, _fused_bwd_padded)
+
+
 def fused_qkv_attention(qkv: jax.Array, heads: int, causal: bool = False) -> jax.Array:
     """Multi-head self-attention fused over the concatenated projection.
 
@@ -397,9 +437,13 @@ def fused_qkv_attention(qkv: jax.Array, heads: int, causal: bool = False) -> jax
     nn.MultiheadAttention convention). Returns (n, s, D) — the pre-out-
     projection attention output with heads concatenated, un-transposed.
     ``causal`` applies the standard upper-triangular mask (the only mask the
-    CLIP text encoder uses, reference model.py:324-330)."""
-    out, _ = _fused_fwd(qkv, heads, causal)
-    return out
+    CLIP text encoder uses, reference model.py:324-330).
+
+    Thin wrapper over :func:`fused_qkv_attention_padded`: pads the sequence
+    to the bf16 sublane tile here; autodiff of the pad slices the padded
+    cotangent (whose pad rows are exactly zero) back down."""
+    n, s, F = qkv.shape
+    return fused_qkv_attention_padded(_qkv_pad(qkv, _round_up(s, 16)), heads, s, causal)
 
 
 def _check_fused_shape(heads: int, d: int, s: int):
@@ -413,31 +457,6 @@ def _check_fused_shape(heads: int, d: int, s: int):
             f"got heads={heads}, d={d} (use fused_qkv_ok() to gate)")
     if _round_up(s, 16) > MAX_R:
         raise ValueError(f"sequence {s} exceeds the single-cell budget MAX_R={MAX_R}")
-
-
-def _fused_fwd(qkv, heads, causal):
-    n, s, F = qkv.shape
-    D = F // 3
-    d = D // heads
-    _check_fused_shape(heads, d, s)
-    s_pad = _round_up(s, 16)  # bf16 sublane tile
-    qkv_p = _qkv_pad(qkv, s_pad)
-    out = _vmappable_call("fwd", D, heads, d, s_pad, s, causal)(qkv_p)
-    return out[:, :s, :], (qkv_p,)
-
-
-def _fused_bwd(heads, causal, residuals, g):
-    (qkv_p,) = residuals
-    n, s_pad, F = qkv_p.shape
-    D = F // 3
-    d = D // heads
-    s = g.shape[1]
-    g_p = _qkv_pad(g, s_pad)
-    dqkv = _vmappable_call("bwd", F, heads, d, s_pad, s, causal)(qkv_p, g_p)
-    return (dqkv[:, :s, :],)
-
-
-fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_qkv_ok(n: int, s: int, heads: int, d: int, sample=None) -> bool:
