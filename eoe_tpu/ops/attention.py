@@ -118,25 +118,28 @@ def _flash_forward(q: jax.Array, k: jax.Array, v: jax.Array,
 
 import os as _os
 
-# rows (block*s_pad) per grid cell. Larger cells amortize MXU issue overhead
-# but grow the block-diagonal masking waste linearly; on v5e at CLIP ViT-B/32
-# shapes R=128 (2 images/cell) measured best: 4225 img/s vs 4143 (R=384),
-# 3855 (R=512), 3852 (R=64, grid-overhead-bound).
+# target rows (images*s_pad) per grid cell, per direction. Larger cells
+# amortize MXU issue overhead but grow the block-diagonal masking waste
+# linearly. Measured on v5e at CLIP ViT-B/32 shapes (per-layer kernel time):
+# forward is best at R=128 (0.19ms; 0.25 at R=256) while the backward — whose
+# five matmuls amortize issue overhead over more work — is best at R=256
+# (0.44ms; 0.51 at R=128).
 MAX_R = int(_os.environ.get("EOE_TPU_ATTN_MAX_R", "128"))
+MAX_R_BWD = int(_os.environ.get("EOE_TPU_ATTN_MAX_R_BWD", "256"))
 
 
-def _pick_block(n: int, s_pad: int) -> int:
+def _pick_block(n: int, s: int, max_r: int) -> int:
     best = 1
     for b in range(1, n + 1):
-        if n % b == 0 and b * s_pad <= MAX_R:
+        if n % b == 0 and b * s <= max_r:
             best = b
     return best
 
 
 def _cell_bias(R: int, s_pad: int, s_real: int, causal: bool) -> jax.Array:
     """(R, R) additive f32 bias: -1e30 where attention is not allowed —
-    across images of the block, onto padded key columns, and (optionally)
-    onto future positions."""
+    across images of the block (stacked at pitch ``s_pad``), onto padded key
+    columns, and (optionally) onto future positions."""
     row = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
     row_img, row_pos = row // s_pad, row % s_pad
@@ -151,7 +154,7 @@ LANE = 128
 
 
 def _head_groups(heads: int, d: int):
-    """Iterate 128-lane-aligned groups. Yields (group_index, [head lane-masks]).
+    """Iterate 128-lane-aligned groups. Yields (group_index, heads_per_group).
 
     TPU vregs are 128 lanes wide; slicing a (R, 3D) activation at a 64-lane
     offset forces lane-shuffle relayouts that dominated the first kernel
@@ -178,10 +181,10 @@ def _softmax_f32(logits):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
-def _fused_fwd_kernel(qkv_ref, o_ref, *, heads: int, d: int, s_pad: int,
-                      s_real: int, causal: bool):
+def _fwd_compute(qkv_ref, o_ref, *, heads: int, d: int, s_pad: int,
+                 s_real: int, causal: bool):
     bn = qkv_ref.shape[0]
-    R = bn * s_pad
+    R = bn * s_pad  # images stacked at pitch s_pad rows
     D = heads * d
     x = qkv_ref[...].reshape(R, 3 * D)
     bias = _cell_bias(R, s_pad, s_real, causal)
@@ -191,24 +194,40 @@ def _fused_fwd_kernel(qkv_ref, o_ref, *, heads: int, d: int, s_pad: int,
         q2 = x[:, base:base + LANE]
         k2 = x[:, D + base:D + base + LANE]
         v2 = x[:, 2 * D + base:2 * D + base + LANE]
-        out = None
-        for half in range(per):
-            mask = _lane_mask(R, half, per, x.dtype)
-            km = k2 if mask is None else k2 * mask
+        if per == 1:
             logits = jax.lax.dot_general(
-                q2, km, (((1,), (1,)), ((), ())),
+                q2, k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale + bias
             p = _softmax_f32(logits).astype(x.dtype)
-            o = jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            o = o if mask is None else o * mask
-            out = o if out is None else out + o
+            out = jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        else:
+            # scale q up front: for d=64 the scale is 2^-3, exact in bf16
+            q2 = q2 * jnp.asarray(scale, x.dtype)
+            # pair packing (d=64): stack both heads' lane-masked K/V along the
+            # row dim so the group runs ONE (R,LANE)x(LANE,2R) logits matmul
+            # and ONE (R,2R)x(2R,LANE) PV matmul instead of two of each —
+            # half the MXU issues at double the tile size, identical math
+            # (masked V confines each head to its own lanes, and the PV
+            # contraction sums the two heads' outputs in its epilogue).
+            mA = _lane_mask(R, 0, per, x.dtype)
+            mB = _lane_mask(R, 1, per, x.dtype)
+            km = jnp.concatenate([k2 * mA, k2 * mB], axis=0)  # (2R, LANE)
+            vm = jnp.concatenate([v2 * mA, v2 * mB], axis=0)
+            logits = jax.lax.dot_general(
+                q2, km, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (R, 2R)
+            pA = _softmax_f32(logits[:, :R] + bias)
+            pB = _softmax_f32(logits[:, R:] + bias)
+            p = jnp.concatenate([pA, pB], axis=1).astype(x.dtype)
+            out = jax.lax.dot_general(p, vm, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
         o_ref[:, :, base:base + LANE] = (
             out.reshape(bn, s_pad, LANE).astype(o_ref.dtype))
 
 
-def _fused_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, d: int,
-                      s_pad: int, s_real: int, causal: bool):
+def _bwd_compute(qkv_ref, g_ref, dqkv_ref, *, heads: int, d: int,
+                 s_pad: int, s_real: int, causal: bool):
     bn = qkv_ref.shape[0]
     R = bn * s_pad
     D = heads * d
@@ -222,32 +241,60 @@ def _fused_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, d: int,
         k2 = x[:, D + base:D + base + LANE]
         v2 = x[:, 2 * D + base:2 * D + base + LANE]
         g2 = g_all[:, base:base + LANE]
-        dq = dk = dv = None
-        for half in range(per):
-            mask = _lane_mask(R, half, per, x.dtype)
-            km = k2 if mask is None else k2 * mask
-            qm = q2 if mask is None else q2 * mask
-            gm = g2 if mask is None else g2 * mask
+        if per == 1:
             logits = jax.lax.dot_general(
-                q2, km, (((1,), (1,)), ((), ())),
+                q2, k2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale + bias
             p = _softmax_f32(logits)  # f32 (R, R)
             pc = p.astype(x.dtype)
-            # dv += p^T g_h (g masked to this head's lanes)
-            dvh = jax.lax.dot_general(pc, gm, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            # dp = g_h v^T — masked g zeroes the sibling's contraction lanes
-            dp = jax.lax.dot_general(gm, v2, (((1,), (1,)), ((), ())),
+            dv = jax.lax.dot_general(pc, g2, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(g2, v2, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p * scale
             dsc = ds.astype(x.dtype)
-            dqh = jax.lax.dot_general(dsc, km, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            dkh = jax.lax.dot_general(dsc, qm, (((0,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            dq = dqh if dq is None else dq + dqh
-            dk = dkh if dk is None else dk + dkh
-            dv = dvh if dv is None else dv + dvh
+            dq = jax.lax.dot_general(dsc, k2, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(dsc, q2, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+        else:
+            # pair packing (d=64, see _fwd_compute): the five per-head
+            # matmuls of the pair collapse into five double-size ones. Lane
+            # masks move freely across each contraction's free index (the
+            # 0/1 masks square to themselves), so masking K/V rows up front
+            # and the dk/dv outputs afterwards reproduces the per-head math.
+            mA = _lane_mask(R, 0, per, x.dtype)
+            mB = _lane_mask(R, 1, per, x.dtype)
+            q2s = q2 * jnp.asarray(scale, x.dtype)  # 2^-3: exact in bf16
+            km = jnp.concatenate([k2 * mA, k2 * mB], axis=0)  # (2R, LANE)
+            vm = jnp.concatenate([v2 * mA, v2 * mB], axis=0)
+            logits = jax.lax.dot_general(
+                q2s, km, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (R, 2R)
+            pA = _softmax_f32(logits[:, :R] + bias)
+            pB = _softmax_f32(logits[:, R:] + bias)
+            pc = jnp.concatenate([pA, pB], axis=1).astype(x.dtype)
+            # dv_pair[c, l] = sum_r p[r, c] g[r, l]; head h's slice masked after
+            dv_pair = jax.lax.dot_general(pc, g2, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)  # (2R, LANE)
+            dv = dv_pair[:R] * mA + dv_pair[R:] * mB
+            # dp_pair[r, c] = sum_l g[r, l] vm[c, l] (mask carried by vm)
+            dp_pair = jax.lax.dot_general(g2, vm, (((1,), (1,)), ((), ())),
+                                          preferred_element_type=jnp.float32)  # (R, 2R)
+            dpA, dpB = dp_pair[:, :R], dp_pair[:, R:]
+            dsA = (dpA - jnp.sum(dpA * pA, axis=-1, keepdims=True)) * pA
+            dsB = (dpB - jnp.sum(dpB * pB, axis=-1, keepdims=True)) * pB
+            dsc = jnp.concatenate([dsA, dsB], axis=1).astype(x.dtype)  # (R, 2R)
+            # dq = ds_A km_A + ds_B km_B in one contraction (km rows stacked);
+            # ds was built unscaled, so the logits' scale re-enters here and
+            # folds into dk's output mask multiplies
+            dq = jax.lax.dot_general(dsc, km, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+            dk_pair = jax.lax.dot_general(dsc, q2, (((0,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)  # (2R, LANE)
+            mAf = mA.astype(jnp.float32) * scale
+            mBf = mB.astype(jnp.float32) * scale
+            dk = dk_pair[:R] * mAf + dk_pair[R:] * mBf
         dqkv_ref[:, :, base:base + LANE] = (
             dq.reshape(bn, s_pad, LANE).astype(dqkv_ref.dtype))
         dqkv_ref[:, :, D + base:D + base + LANE] = (
@@ -256,10 +303,26 @@ def _fused_bwd_kernel(qkv_ref, g_ref, dqkv_ref, *, heads: int, d: int,
             dv.reshape(bn, s_pad, LANE).astype(dqkv_ref.dtype))
 
 
-def _fused_call(kernel, out_feats: int, inputs, n, s_pad, D, heads, d,
+# ------------------------------------------------------------- kernel call
+#
+# Automatic pallas block pipelining (BlockSpec + grid). A hand-rolled
+# double-buffered DMA pipeline (memory_space=ANY + make_async_copy, measured
+# on v5e) was NOT faster: per-cell time is DMA + compute under both schemes,
+# because the per-group VMEM loads of fresh q/k/v tile-columns do not overlap
+# with the in-flight block DMA (a probe kernel whose loads LICM out of the
+# group loop hides its entire compute behind the same DMA; one that reads
+# fresh columns per group pays the full serial sum). Ingesting the unpadded
+# (n, s, F) activations directly is also impossible: DMA moves whole memref
+# tiles, so the 6 phantom rows of an s=50 array can't be addressed — hence
+# the XLA-level pad to the sublane tile around every call.
+
+
+def _fused_call(kind: str, out_feats: int, inputs, n, heads, d,
                 s_real, causal, dtype):
-    bn = _pick_block(n, s_pad)
+    s_pad = inputs[0].shape[1]
+    bn = _pick_block(n, s_pad, MAX_R if kind == "fwd" else MAX_R_BWD)
     interpret = jax.default_backend() == "cpu"
+    kernel = _fwd_compute if kind == "fwd" else _bwd_compute
     specs = [pl.BlockSpec((bn, s_pad, a.shape[-1]), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM) for a in inputs]
     return pl.pallas_call(
@@ -272,13 +335,6 @@ def _fused_call(kernel, out_feats: int, inputs, n, s_pad, D, heads, d,
         out_specs=pl.BlockSpec((bn, s_pad, out_feats), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )(*inputs)
-
-
-def _qkv_pad(x: jax.Array, s_pad: int) -> jax.Array:
-    s = x.shape[1]
-    if s == s_pad:
-        return x
-    return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
 
 
 # ---------------------------------------------------------------- SPMD rules
@@ -301,17 +357,14 @@ def _batch_axis(arg_shapes):
 
 @functools.lru_cache(maxsize=None)
 def _partitioned_call(kind: str, out_feats: int, heads: int, d: int,
-                      s_pad: int, s_real: int, causal: bool):
+                      s_real: int, causal: bool):
     from jax.experimental.custom_partitioning import custom_partitioning
     from jax.sharding import NamedSharding, PartitionSpec
 
-    kernel = _fused_fwd_kernel if kind == "fwd" else _fused_bwd_kernel
-
     def impl(*args):
         n = args[0].shape[0]
-        D = heads * d
-        return _fused_call(kernel, out_feats, list(args), n, s_pad, D, heads,
-                           d, s_real, causal, args[0].dtype)
+        return _fused_call(kind, out_feats, list(args), n, heads, d,
+                           s_real, causal, args[0].dtype)
 
     f = custom_partitioning(impl)
 
@@ -343,7 +396,7 @@ def _partitioned_call(kind: str, out_feats: int, heads: int, d: int,
 
 @functools.lru_cache(maxsize=None)
 def _vmappable_call(kind: str, out_feats: int, heads: int, d: int,
-                    s_pad: int, s_real: int, causal: bool):
+                    s_real: int, causal: bool):
     """custom_vmap wrapper over the partitioned kernel call: a vmapped axis
     (seed-vmapped grids, vmapped evolution candidates) collapses into the
     kernel's leading batch dim instead of forcing the einsum fallback — the
@@ -352,7 +405,7 @@ def _vmappable_call(kind: str, out_feats: int, heads: int, d: int,
     peel one level each."""
     from jax.custom_batching import custom_vmap
 
-    inner = _partitioned_call(kind, out_feats, heads, d, s_pad, s_real, causal)
+    inner = _partitioned_call(kind, out_feats, heads, d, s_real, causal)
 
     if kind == "fwd":
         @custom_vmap
@@ -388,47 +441,7 @@ def _vmappable_call(kind: str, out_feats: int, heads: int, d: int,
     return op2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def fused_qkv_attention_padded(qkv_p: jax.Array, heads: int, s_real: int,
-                               causal: bool = False) -> jax.Array:
-    """Like :func:`fused_qkv_attention`, but consumes an ALREADY sequence-
-    padded projection (n, round_up(s_real, 16), 3*D) and returns the
-    unpadded (n, s_real, D) attention output.
-
-    Split out so producers that already hold a padded sequence can skip the
-    wrapper's pad/slice pair. Pad rows may hold arbitrary FINITE values: as
-    keys they are masked via ``s_real``, as queries their outputs are sliced
-    away, and the backward's pad-row cotangents are exactly zero, so the
-    returned padded ``dqkv`` keeps upstream gradients exact."""
-    out, _ = _fused_fwd_padded(qkv_p, heads, s_real, causal)
-    return out
-
-
-def _fused_fwd_padded(qkv_p, heads, s_real, causal):
-    n, s_pad, F = qkv_p.shape
-    D = F // 3
-    d = D // heads
-    _check_fused_shape(heads, d, s_real)
-    if s_pad != _round_up(s_real, 16):
-        raise ValueError(f"qkv_p sequence dim {s_pad} != round_up({s_real}, 16)")
-    out = _vmappable_call("fwd", D, heads, d, s_pad, s_real, causal)(qkv_p)
-    return out[:, :s_real, :], (qkv_p,)
-
-
-def _fused_bwd_padded(heads, s_real, causal, residuals, g):
-    (qkv_p,) = residuals
-    _, s_pad, F = qkv_p.shape
-    D = F // 3
-    d = D // heads
-    g_p = _qkv_pad(g, s_pad)
-    dqkv = _vmappable_call("bwd", F, heads, d, s_pad, s_real, causal)(qkv_p, g_p)
-    return (dqkv,)  # padded cotangent: pad rows are exactly zero (masked keys,
-    #                 zero pad-row g), so the producer's pad op needs no slice
-
-
-fused_qkv_attention_padded.defvjp(_fused_fwd_padded, _fused_bwd_padded)
-
-
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
 def fused_qkv_attention(qkv: jax.Array, heads: int, causal: bool = False) -> jax.Array:
     """Multi-head self-attention fused over the concatenated projection.
 
@@ -439,11 +452,43 @@ def fused_qkv_attention(qkv: jax.Array, heads: int, causal: bool = False) -> jax
     ``causal`` applies the standard upper-triangular mask (the only mask the
     CLIP text encoder uses, reference model.py:324-330).
 
-    Thin wrapper over :func:`fused_qkv_attention_padded`: pads the sequence
-    to the bf16 sublane tile here; autodiff of the pad slices the padded
-    cotangent (whose pad rows are exactly zero) back down."""
+    Sequences of any length enter and leave UNPADDED: the kernels DMA the
+    (n, s, F) HBM blocks straight into sublane-tile-padded VMEM scratch whose
+    pad rows are zeroed once, so no XLA-level pad/slice ops surround the
+    call, and the backward's pad rows never leave the chip."""
+    out, _ = _fused_fwd(qkv, heads, causal)
+    return out
+
+
+def _qkv_pad(x: jax.Array, s_pad: int) -> jax.Array:
+    s = x.shape[1]
+    if s == s_pad:
+        return x
+    return jnp.pad(x, ((0, 0), (0, s_pad - s), (0, 0)))
+
+
+def _fused_fwd(qkv, heads, causal):
     n, s, F = qkv.shape
-    return fused_qkv_attention_padded(_qkv_pad(qkv, _round_up(s, 16)), heads, s, causal)
+    D = F // 3
+    d = D // heads
+    _check_fused_shape(heads, d, s)
+    qkv_p = _qkv_pad(qkv, _round_up(s, 16))
+    out = _vmappable_call("fwd", D, heads, d, s, causal)(qkv_p)
+    return out[:, :s, :], (qkv_p,)
+
+
+def _fused_bwd(heads, causal, residuals, g):
+    (qkv_p,) = residuals
+    n, s_pad, F = qkv_p.shape
+    D = F // 3
+    d = D // heads
+    s = g.shape[1]
+    g_p = _qkv_pad(g, s_pad)
+    dqkv = _vmappable_call("bwd", F, heads, d, s, causal)(qkv_p, g_p)
+    return (dqkv[:, :s, :],)
+
+
+fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
 def _check_fused_shape(heads: int, d: int, s: int):
@@ -455,7 +500,7 @@ def _check_fused_shape(heads: int, d: int, s: int):
         raise ValueError(
             f"fused_qkv_attention requires LANE%d==0 and heads%(LANE//d)==0; "
             f"got heads={heads}, d={d} (use fused_qkv_ok() to gate)")
-    if _round_up(s, 16) > MAX_R:
+    if s > MAX_R:
         raise ValueError(f"sequence {s} exceeds the single-cell budget MAX_R={MAX_R}")
 
 
@@ -477,7 +522,7 @@ def fused_qkv_ok(n: int, s: int, heads: int, d: int, sample=None) -> bool:
     if dd is not None and getattr(dd, "platform", None) == "cpu":
         return False
     aligned = (d == 64 and heads % 2 == 0) or d == 128
-    return aligned and _round_up(s, 16) <= MAX_R and n >= 1
+    return aligned and s <= MAX_R and n >= 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -143,45 +143,3 @@ def test_fused_qkv_nested_vmap(rng):
     out = jax.vmap(jax.vmap(lambda x: fused_qkv_attention(x, h, False)))(qkv)
     ref = _ref_from_qkv(qkv[1, 0], n, s, h, d, None)
     np.testing.assert_allclose(np.asarray(out[1, 0]), np.asarray(ref), atol=1e-5)
-
-
-# ------------------------------------------------------- pre-padded variant
-
-
-@pytest.mark.parametrize("cfg", [
-    (3, 50, 4, 64, False),   # ViT-B/32-like shapes (s_pad 64)
-    (2, 21, 2, 64, True),    # causal (text encoder, s_pad 32)
-])
-def test_fused_qkv_padded_matches_reference(rng, cfg):
-    """The padded entry point must ignore arbitrary finite values in the pad
-    rows (producers leave the bias there, see models.clip.model._QKVDense)."""
-    from eoe_tpu.ops.attention import _round_up, fused_qkv_attention_padded
-    n, s, h, d, causal = cfg
-    D = h * d
-    s_pad = _round_up(s, 16)
-    qkv = jnp.asarray(rng.normal(0, 1, (n, s, 3 * D)), jnp.float32)
-    garbage = jnp.asarray(rng.normal(0, 37.0, (n, s_pad - s, 3 * D)), jnp.float32)
-    qkv_p = jnp.concatenate([qkv, garbage], axis=1)
-    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1) if causal else None
-    ref = _ref_from_qkv(qkv, n, s, h, d, mask)
-    out = fused_qkv_attention_padded(qkv_p, h, s, causal)
-    assert out.shape == (n, s, D)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-
-
-def test_fused_qkv_padded_gradients_match(rng):
-    """Padded-variant cotangent: real rows match the reference gradient and
-    pad rows are identically zero (keeps the producer's bias grad exact)."""
-    from eoe_tpu.ops.attention import _round_up, fused_qkv_attention_padded
-    n, s, h, d, causal = 2, 21, 2, 64, True
-    D = h * d
-    s_pad = _round_up(s, 16)
-    qkv = jnp.asarray(rng.normal(0, 1, (n, s, 3 * D)), jnp.float32)
-    garbage = jnp.asarray(rng.normal(0, 11.0, (n, s_pad - s, 3 * D)), jnp.float32)
-    qkv_p = jnp.concatenate([qkv, garbage], axis=1)
-    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1)
-    g = jnp.asarray(rng.normal(0, 1, (n, s, D)), jnp.float32)
-    g_pad = jax.grad(lambda x: (fused_qkv_attention_padded(x, h, s, causal) * g).sum())(qkv_p)
-    g_ref = jax.grad(lambda x: (_ref_from_qkv(x, n, s, h, d, mask) * g).sum())(qkv)
-    np.testing.assert_allclose(np.asarray(g_pad[:, :s]), np.asarray(g_ref), atol=1e-4)
-    np.testing.assert_array_equal(np.asarray(g_pad[:, s:]), 0.0)
