@@ -215,10 +215,18 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
     ``fn(images, key) -> images``. ``key`` may be None if no spec is random."""
     steps: List[Tuple[bool, Callable]] = []  # (needs_key, fn); fn may take rt_stats kw
     STATS_OP = "__stats__"  # sentinel: fn additionally receives runtime stats
+    # index-only ops (flips, crops) commute with the monotone uint8->float
+    # conversion, so they run on the raw bytes: a batched hflip reverse moves
+    # 4x fewer bytes in uint8 than in f32 (measured 0.94ms/step of f32
+    # `reverse` on the v5e CLIP bench)
+    U8_SAFE = {"random_hflip", "random_horizontal_flip", "random_crop",
+               "center_crop"}
 
+    u8_safe: List[bool] = []  # parallel to steps
     for raw in specs or ():
         s = _canon(raw)
         op = s["op"].lower()
+        n_before = len(steps)
         if op in ("to_tensor", "totensor", "rgb"):
             continue  # images are already float NHWC in [0,1]
         elif op == "resize":
@@ -286,20 +294,26 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             raise PipelineError("arbitrary lambdas are not serializable; add a named op instead")
         else:
             raise PipelineError(f"unknown transform op: {op!r} (spec {raw!r})")
+        u8_safe.extend([op in U8_SAFE] * (len(steps) - n_before))
 
     n_random = sum(1 for kind, _ in steps if kind is True)
+
+    def _to_float(images: Array) -> Array:
+        if images.dtype == jnp.uint8:
+            images = images.astype(jnp.float32) / 255.0
+        return images
 
     def apply(images: Array, key: Optional[Array] = None, rt_stats=None) -> Array:
         """``rt_stats``: optional traced (mean, std) arrays overriding the baked
         statistics, so one compiled train step serves all classes/seeds."""
         images = jnp.asarray(images)
-        if images.dtype == jnp.uint8:
-            images = images.astype(jnp.float32) / 255.0
         keys = jax.random.split(key, n_random) if (n_random and key is not None) else None
         if n_random and key is None:
             raise PipelineError("pipeline contains random ops but no PRNG key was passed")
         ki = 0
-        for kind, fn in steps:
+        for (kind, fn), safe in zip(steps, u8_safe):
+            if not safe:
+                images = _to_float(images)
             if kind is True:
                 images = fn(images, keys[ki])
                 ki += 1
@@ -307,7 +321,7 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
                 images = fn(images, rt_stats)
             else:
                 images = fn(images)
-        return images
+        return _to_float(images)
 
     apply.specs = list(specs or ())
     apply.n_random = n_random

@@ -111,3 +111,23 @@ def test_pipeline_is_jittable(imgs):
     jitted = jax.jit(lambda x, k: fn(x, k))
     out = jitted(jnp.array(imgs), jax.random.key(0))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_u8_index_ops_before_conversion(rng):
+    """Index-only prefix ops (hflip/crop) run on raw uint8 and must produce
+    bit-identical results to the all-float pipeline (the conversion is
+    monotone and elementwise, so it commutes with pure index ops)."""
+    from eoe_tpu.ops.preprocess import DatasetStats, compile_pipeline
+    x8 = rng.integers(0, 256, (4, 16, 16, 3), np.uint8)
+    stats = DatasetStats((0.4, 0.5, 0.6), (0.2, 0.2, 0.2))
+    specs = [{"op": "random_hflip"}, {"op": "random_crop", "size": 12, "padding": 2},
+             "normalize"]
+    pipe = compile_pipeline(specs, stats)
+    key = jax.random.key(7)
+    out_u8 = pipe(jnp.asarray(x8), key)
+    out_f32 = pipe(jnp.asarray(x8, jnp.float32) / 255.0, key)
+    np.testing.assert_array_equal(np.asarray(out_u8), np.asarray(out_f32))
+    # all-index pipelines still return float in [0, 1]
+    pipe2 = compile_pipeline([{"op": "center_crop", "size": 8}])
+    out2 = pipe2(jnp.asarray(x8))
+    assert out2.dtype == jnp.float32 and float(out2.max()) <= 1.0
