@@ -143,3 +143,23 @@ def test_fused_qkv_nested_vmap(rng):
     out = jax.vmap(jax.vmap(lambda x: fused_qkv_attention(x, h, False)))(qkv)
     ref = _ref_from_qkv(qkv[1, 0], n, s, h, d, None)
     np.testing.assert_allclose(np.asarray(out[1, 0]), np.asarray(ref), atol=1e-5)
+
+
+def test_fused_qkv_production_blocks(rng):
+    """Exercise the per-direction block sizing at shapes where fwd (MAX_R=128)
+    and bwd (MAX_R_BWD=256) genuinely pick different cell sizes (s_pad=64:
+    fwd 2 images/cell, bwd 4), including batches that straddle cells."""
+    from eoe_tpu.ops import attention as A
+    n, s, h, d = 8, 50, 4, 64
+    D = h * d
+    s_pad = A._round_up(s, 16)
+    assert A._pick_block(n, s_pad, A.MAX_R) == 2
+    assert A._pick_block(n, s_pad, A.MAX_R_BWD) == 4
+    qkv = jnp.asarray(rng.normal(0, 1, (n, s, 3 * D)), jnp.float32)
+    g = jnp.asarray(rng.normal(0, 1, (n, s, D)), jnp.float32)
+    out = A.fused_qkv_attention(qkv, h, False)
+    ref = _ref_from_qkv(qkv, n, s, h, d, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    g_fused = jax.grad(lambda x: (A.fused_qkv_attention(x, h, False) * g).sum())(qkv)
+    g_ref = jax.grad(lambda x: (_ref_from_qkv(x, n, s, h, d, None) * g).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref), atol=1e-4)
