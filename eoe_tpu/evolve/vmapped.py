@@ -138,6 +138,24 @@ class VmappedEvaluator:
         test_labels = normal_ds.binary_targets(test_set)
         rt_stats = trainer._rt_stats(ds)
 
+        # SURVEY §2.7(b): the candidate axis is embarrassingly parallel, so on
+        # a data mesh full chunks shard candidates across devices (replicated
+        # data, no collectives); remainder chunks run replicated. The batch
+        # constraint is disabled for the whole vmapped program (the data axis
+        # belongs to candidates here — see Trainer._constrain_batch).
+        mesh = trainer.mesh
+        cand_sh = repl = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from eoe_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+            dv = mesh.shape.get(DATA_AXIS, 1)
+            repl = NamedSharding(mesh, PartitionSpec())
+            if dv > 1 and mesh.shape.get(MODEL_AXIS, 1) == 1:
+                cand_sh = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+            Xn, Ln = jax.device_put(Xn, repl), jax.device_put(Ln, repl)
+            if rt_stats is not None:
+                rt_stats = jax.device_put(rt_stats, repl)
+
         # upload the padded test split ONCE for the whole population (the
         # pinned evolve dataset is resident); per-batch gather+upload and a
         # blocking download per batch would pay the fixed tunnel transfer
@@ -153,12 +171,27 @@ class VmappedEvaluator:
             lbt = np.concatenate([test_labels, np.repeat(test_labels[-1:], pad)])
         Xt_d = jnp.asarray(Xt)
         lbt_d = jnp.asarray(lbt)
+        if repl is not None:
+            Xt_d, lbt_d = jax.device_put(Xt_d, repl), jax.device_put(lbt_d, repl)
 
         # per-candidate OE images: (K, oesize, h, w, c)
         def oe_images(ind):
             return oeds.source.gather(valid[np.asarray(list(ind), np.int64) % len(valid)])
 
         fitness = np.zeros((len(individuals), iterations), np.float64)
+        trainer._seed_axis_sharded = cand_sh is not None  # trace-time gate
+        try:
+            self._evaluate_iterations(individuals, iterations, fitness, n, Xn, Ln,
+                                      Xt_d, lbt_d, test_labels, rt_stats, oesize,
+                                      steps_t, nt, B, oe_images, cand_sh, repl, ds)
+        finally:
+            trainer._seed_axis_sharded = False
+        return fitness.mean(axis=1).tolist()
+
+    def _evaluate_iterations(self, individuals, iterations, fitness, n, Xn, Ln,
+                             Xt_d, lbt_d, test_labels, rt_stats, oesize,
+                             steps_t, nt, B, oe_images, cand_sh, repl, ds):
+        trainer = self.trainer
         for it in range(iterations):
             key = jax.random.fold_in(jax.random.fold_in(
                 jax.random.key(trainer.seed), self.args.classes[0]), it)
@@ -188,7 +221,11 @@ class VmappedEvaluator:
             for start in range(0, len(individuals), self.chunk):
                 chunk = individuals[start:start + self.chunk]
                 k = len(chunk)
+                dv = cand_sh.mesh.shape[cand_sh.spec[0]] if cand_sh is not None else 1
+                chunk_sh = cand_sh if (cand_sh is not None and k % dv == 0) else repl
                 Xo = jnp.asarray(np.stack([oe_images(ind) for ind in chunk]))
+                if chunk_sh is not None:
+                    Xo = jax.device_put(Xo, chunk_sh)
                 base = trainer.init_state(key, ds, max(sampler.steps, 1))
                 if trainer.center is None and trainer.objective.needs_center:
                     # DSVDD center / CLIP prompt features — identical for all
@@ -198,6 +235,8 @@ class VmappedEvaluator:
                     trainer.center = trainer.prepare_metric(clsstr, ds, base, it)
                 states = jax.tree_util.tree_map(
                     lambda x: jnp.broadcast_to(x, (k, *x.shape)), base)
+                if chunk_sh is not None:
+                    states = jax.device_put(states, chunk_sh)
                 if trainer.epochs > 0:
                     states, _ = self._train_fn(
                         states, Xn, Ln, Xo, idx_n, idx_o, wj,
@@ -216,4 +255,3 @@ class VmappedEvaluator:
                     jnp.asarray(test_labels[keep]), jnp.asarray(s[..., keep])))(
                     jnp.asarray(scores))
                 fitness[start:start + k, it] = np.asarray(aucs)
-        return fitness.mean(axis=1).tolist()

@@ -312,7 +312,10 @@ class Trainer:
     # ------------------------------------------------------------- jitted steps
 
     def _constrain_batch(self, x):
-        if self.mesh is not None:
+        # under a seed-sharded vmapped grid the mesh's data axis is occupied
+        # by the SEED axis; constraining the per-seed batch onto it too would
+        # double-book the axis (each seed's batch stays whole on its shard)
+        if self.mesh is not None and not getattr(self, "_seed_axis_sharded", False):
             return jax.lax.with_sharding_constraint(
                 x, meshlib.batch_sharding(self.mesh, x.ndim))
         return x

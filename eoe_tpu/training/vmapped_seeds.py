@@ -88,6 +88,41 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
     Lo = jnp.asarray(ds.oe.binary_targets(oe_set)) if has_oe else None
     _tlog("data upload", _t); _t = _time.time()
 
+    # SURVEY §2.7(b): the seed grid is an embarrassingly parallel axis, so on
+    # a data mesh the stacked SEED axis shards across chips (each device
+    # trains its share of the seeds on the replicated resident data; no
+    # collectives — per-seed BN/grads never cross seeds). Tensor-parallel
+    # meshes keep the single-shard behavior (params are already sharded on
+    # 'model'); so do seed counts that don't divide the data axis.
+    shard_seeds = False
+    mesh = trainer.mesh
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from eoe_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        dv = mesh.shape.get(DATA_AXIS, 1)
+        shard_seeds = (dv > 1 and n_seeds % dv == 0
+                       and mesh.shape.get(MODEL_AXIS, 1) == 1)
+        repl = NamedSharding(mesh, PartitionSpec())
+        # sharded grid: seeds split over the data axis; otherwise everything
+        # replicates on the mesh and each per-seed BATCH data-parallelizes
+        # through the step's sharding constraint instead
+        seed_sh = (NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+                   if shard_seeds else repl)
+        states = jax.device_put(states, seed_sh)
+        Xn, Ln = jax.device_put(Xn, repl), jax.device_put(Ln, repl)
+        if has_oe:
+            Xo, Lo = jax.device_put(Xo, repl), jax.device_put(Lo, repl)
+        if center is not None:
+            center = jax.device_put(center, repl)
+        if rt_stats is not None:
+            rt_stats = jax.device_put(rt_stats, repl)
+        ekeys_all = jax.device_put(ekeys_all, NamedSharding(
+            mesh, PartitionSpec(None, DATA_AXIS if shard_seeds else None)))
+        _tlog(f"mesh placement (seed axis {'sharded' if shard_seeds else 'replicated'} "
+              f"over {dv} devices)", _t); _t = _time.time()
+    trainer._seed_axis_sharded = shard_seeds
+    trainer._last_vmap_sharded = shard_seeds  # introspection for tests/logs
+
     def build_epoch_vmapped():
         from eoe_tpu.training.trainer import scan_ok
         core = trainer._train_step_core(ds, tx, has_oe)
@@ -134,7 +169,7 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
 
     epoch_vmapped = trainer._cached(
         ("vmap_seeds", type(ds).__name__, has_oe, tuple(Xn.shape[1:]), B, steps,
-         n_seeds), build_epoch_vmapped)
+         n_seeds, shard_seeds), build_epoch_vmapped)
 
     # pre-sample every epoch's per-seed index plans and pack them into as few
     # uploads as possible (fixed per-transfer latency on tunneled chips; the
@@ -158,14 +193,21 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
     _tlog("plan sampling + upload", _t); _t = _time.time()
 
     last = None
-    for ep in range(trainer.epochs):
-        plan = plans_d[ep] if plans_d is not None else jnp.asarray(per_epoch[ep])
-        idx_n = plan[0]
-        idx_o = plan[1] if has_oe else plan[1][:, :, :1]
-        w = plan[2].astype(jnp.float32)
-        states, last = epoch_vmapped(states, Xn, Ln, Xo, Lo, idx_n, idx_o, w,
-                                     ekeys_all[ep], center, rt_stats)
-    jax.block_until_ready(states)
+    try:
+        for ep in range(trainer.epochs):
+            plan = plans_d[ep] if plans_d is not None else jnp.asarray(per_epoch[ep])
+            if mesh is not None:
+                plan = jax.device_put(plan, NamedSharding(
+                    mesh, PartitionSpec(None, DATA_AXIS) if shard_seeds
+                    else PartitionSpec()))
+            idx_n = plan[0]
+            idx_o = plan[1] if has_oe else plan[1][:, :, :1]
+            w = plan[2].astype(jnp.float32)
+            states, last = epoch_vmapped(states, Xn, Ln, Xo, Lo, idx_n, idx_o, w,
+                                         ekeys_all[ep], center, rt_stats)
+        jax.block_until_ready(states)
+    finally:
+        trainer._seed_axis_sharded = False
     _tlog(f"epoch dispatches x{trainer.epochs}", _t); _t = _time.time()
 
     # ONE packed download for every seed's last-epoch outputs (per-seed

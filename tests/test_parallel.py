@@ -189,3 +189,51 @@ def test_fused_attention_partitions_over_data_axis(mesh8):
                                        * g_sh).sum()),
                    in_shardings=(batch_sh,))(qkv_sh)
     np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad), atol=1e-4)
+
+
+def test_seed_sharded_vmap_matches_single_shard(tmp_path, mesh8):
+    """SURVEY §2.7(b): on a data mesh the seed-vmapped grid shards the SEED
+    axis across devices (each chip trains its share of the seeds; no
+    collectives). Results must match the unsharded vmapped grid."""
+    from test_trainer import make_trainer
+    aucs = {}
+    for name, mesh in (("single", None), ("sharded", mesh8)):
+        trainer = make_trainer(tmp_path / name, "hsc", epochs=2, mesh=mesh)
+        _, r = trainer.run(run_classes=[0], run_seeds=8, vmap_seeds=True)
+        aucs[name] = r["cls_aucs"][0]
+        if mesh is not None:
+            assert trainer._last_vmap_sharded, "seed axis should shard on the data mesh"
+    np.testing.assert_allclose(aucs["sharded"], aucs["single"], atol=2e-3)
+
+
+def test_seed_shard_skips_on_indivisible_grid(tmp_path, mesh8):
+    """Seed counts that don't divide the data axis keep the single-shard path."""
+    from test_trainer import make_trainer
+    trainer = make_trainer(tmp_path, "hsc", epochs=1, mesh=mesh8)
+    _, r = trainer.run(run_classes=[0], run_seeds=3, vmap_seeds=True)
+    assert len(r["cls_aucs"][0]) == 3
+    assert trainer._last_vmap_sharded is False
+
+
+def test_evolve_candidates_shard_over_mesh(tmp_path, mesh8):
+    """SURVEY §2.7(b): full candidate chunks shard across the data mesh;
+    fitness must match the single-shard vmapped evaluation (same seeds)."""
+    import argparse
+    from eoe_tpu.evolve import Individual, init_individual
+    from eoe_tpu.evolve.vmapped import VmappedEvaluator
+    from eoe_tpu.main import evolve_trainer
+    from eoe_tpu.models.cnn import CNN32
+
+    args = argparse.Namespace(classes=[0], iterations=1)
+    fits = {}
+    for name, mesh in (("single", None), ("sharded", mesh8)):
+        trainer, oeds, _ = evolve_trainer(
+            "hsc", "", "cifar10", "cifar100", 1, 1e-3, 0.0, [], 16, "one_vs_rest",
+            None, CNN32(rep_dim=32), [], [], classes=[0],
+            dataset_path=str(tmp_path / name), superdir=str(tmp_path / name))
+        trainer.mesh = mesh
+        ev = VmappedEvaluator(trainer, args, chunk=8)
+        rng = np.random.default_rng(5)
+        inds = [[int(rng.integers(0, len(oeds)))] for _ in range(8)]
+        fits[name] = ev.evaluate_population(inds)
+    np.testing.assert_allclose(fits["sharded"], fits["single"], atol=2e-3)
