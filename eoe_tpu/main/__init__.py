@@ -111,7 +111,10 @@ def default_argsparse(modify_descr: Callable[[str], str],
                              "parallelism). Best for from-scratch models with "
                              "many epochs: ~3x for 8 CNN32 seeds at 25 epochs, "
                              "growing with epoch count; no benefit for CLIP "
-                             "(pretrained init makes seed replicas identical).")
+                             "(pretrained init makes seed replicas identical). "
+                             "On a data mesh (--devices N) the seed axis also "
+                             "shards across chips when the seed count divides "
+                             "the mesh.")
     if modify_parser is not None:
         modify_parser(parser)
     args = parser.parse_args(argv)
