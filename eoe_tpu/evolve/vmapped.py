@@ -179,79 +179,77 @@ class VmappedEvaluator:
             return oeds.source.gather(valid[np.asarray(list(ind), np.int64) % len(valid)])
 
         fitness = np.zeros((len(individuals), iterations), np.float64)
-        trainer._seed_axis_sharded = cand_sh is not None  # trace-time gate
+        # the _seed_axis_sharded flag gates Trainer._constrain_batch at TRACE
+        # time and is set PER CHUNK below: sharded chunks trace without the
+        # batch constraint (the data axis carries candidates), replicated
+        # remainder chunks retrace (different k -> different avals) WITH it,
+        # keeping their per-candidate batch data-parallelism
         try:
-            self._evaluate_iterations(individuals, iterations, fitness, n, Xn, Ln,
-                                      Xt_d, lbt_d, test_labels, rt_stats, oesize,
-                                      steps_t, nt, B, oe_images, cand_sh, repl, ds)
+            for it in range(iterations):
+                key = jax.random.fold_in(jax.random.fold_in(
+                    jax.random.key(trainer.seed), self.args.classes[0]), it)
+                sampler = BalancedEpochSampler(
+                    n, oesize, trainer.batch_size,
+                    int(jax.random.randint(jax.random.fold_in(key, 1), (), 0, 2 ** 31 - 1)))
+                if self._train_fn is None:
+                    self._build(oesize, n, sampler.steps)
+                # one shared epoch plan for all candidates
+                idx_n, idx_o, w = [], [], []
+                for _ in range(trainer.epochs):
+                    a, b, c = sampler.epoch()
+                    idx_n.append(a)
+                    idx_o.append(b)
+                    w.append(c)
+                if trainer.epochs > 0:
+                    idx_n = jnp.asarray(np.stack(idx_n))
+                    idx_o = jnp.asarray(np.stack(idx_o))
+                    wj = jnp.asarray(np.stack(w), jnp.float32)
+                else:
+                    shape = (0, sampler.steps, trainer.batch_size)
+                    idx_n = idx_o = jnp.zeros(shape, jnp.int32)
+                    wj = jnp.zeros(shape, jnp.float32)
+                n_keys = trainer.epochs * sampler.steps
+                keys = jax.random.split(jax.random.fold_in(key, 2), max(n_keys, 1))[:n_keys]
+
+                for start in range(0, len(individuals), self.chunk):
+                    chunk = individuals[start:start + self.chunk]
+                    k = len(chunk)
+                    dv = cand_sh.mesh.shape[cand_sh.spec[0]] if cand_sh is not None else 1
+                    chunk_sh = cand_sh if (cand_sh is not None and k % dv == 0) else repl
+                    # per-chunk trace gate (see the comment above the try)
+                    trainer._seed_axis_sharded = chunk_sh is cand_sh and cand_sh is not None
+                    Xo = jnp.asarray(np.stack([oe_images(ind) for ind in chunk]))
+                    if chunk_sh is not None:
+                        Xo = jax.device_put(Xo, chunk_sh)
+                    base = trainer.init_state(key, ds, max(sampler.steps, 1))
+                    if trainer.center is None and trainer.objective.needs_center:
+                        # DSVDD center / CLIP prompt features — identical for all
+                        # candidates (same init weights + shared normal data)
+                        from eoe_tpu.datasets import str_labels
+                        clsstr = str_labels(trainer.dsstr)[self.args.classes[0]]
+                        trainer.center = trainer.prepare_metric(clsstr, ds, base, it)
+                    states = jax.tree_util.tree_map(
+                        lambda x: jnp.broadcast_to(x, (k, *x.shape)), base)
+                    if chunk_sh is not None:
+                        states = jax.device_put(states, chunk_sh)
+                    if trainer.epochs > 0:
+                        states, _ = self._train_fn(
+                            states, Xn, Ln, Xo, idx_n, idx_o, wj,
+                            keys, trainer.center, rt_stats)
+                    # vmapped eval over shared device-resident test batches;
+                    # scores concatenate on device -> one download per chunk
+                    outs = [self._eval_fn(states,
+                                          jax.lax.slice_in_dim(Xt_d, i, i + B),
+                                          jax.lax.slice_in_dim(lbt_d, i, i + B),
+                                          trainer.center, rt_stats)
+                            for i in range(0, steps_t * B, B)]
+                    scores = np.asarray(jnp.concatenate(outs, axis=1)
+                                        if len(outs) > 1 else outs[0])[:, :nt]
+                    keep = test_labels >= 0
+                    aucs = jax.vmap(lambda s: auroc_jax(
+                        jnp.asarray(test_labels[keep]), jnp.asarray(s[..., keep])))(
+                        jnp.asarray(scores))
+                    fitness[start:start + k, it] = np.asarray(aucs)
         finally:
             trainer._seed_axis_sharded = False
         return fitness.mean(axis=1).tolist()
-
-    def _evaluate_iterations(self, individuals, iterations, fitness, n, Xn, Ln,
-                             Xt_d, lbt_d, test_labels, rt_stats, oesize,
-                             steps_t, nt, B, oe_images, cand_sh, repl, ds):
-        trainer = self.trainer
-        for it in range(iterations):
-            key = jax.random.fold_in(jax.random.fold_in(
-                jax.random.key(trainer.seed), self.args.classes[0]), it)
-            sampler = BalancedEpochSampler(
-                n, oesize, trainer.batch_size,
-                int(jax.random.randint(jax.random.fold_in(key, 1), (), 0, 2 ** 31 - 1)))
-            if self._train_fn is None:
-                self._build(oesize, n, sampler.steps)
-            # one shared epoch plan for all candidates
-            idx_n, idx_o, w = [], [], []
-            for _ in range(trainer.epochs):
-                a, b, c = sampler.epoch()
-                idx_n.append(a)
-                idx_o.append(b)
-                w.append(c)
-            if trainer.epochs > 0:
-                idx_n = jnp.asarray(np.stack(idx_n))
-                idx_o = jnp.asarray(np.stack(idx_o))
-                wj = jnp.asarray(np.stack(w), jnp.float32)
-            else:
-                shape = (0, sampler.steps, trainer.batch_size)
-                idx_n = idx_o = jnp.zeros(shape, jnp.int32)
-                wj = jnp.zeros(shape, jnp.float32)
-            n_keys = trainer.epochs * sampler.steps
-            keys = jax.random.split(jax.random.fold_in(key, 2), max(n_keys, 1))[:n_keys]
-
-            for start in range(0, len(individuals), self.chunk):
-                chunk = individuals[start:start + self.chunk]
-                k = len(chunk)
-                dv = cand_sh.mesh.shape[cand_sh.spec[0]] if cand_sh is not None else 1
-                chunk_sh = cand_sh if (cand_sh is not None and k % dv == 0) else repl
-                Xo = jnp.asarray(np.stack([oe_images(ind) for ind in chunk]))
-                if chunk_sh is not None:
-                    Xo = jax.device_put(Xo, chunk_sh)
-                base = trainer.init_state(key, ds, max(sampler.steps, 1))
-                if trainer.center is None and trainer.objective.needs_center:
-                    # DSVDD center / CLIP prompt features — identical for all
-                    # candidates (same init weights + shared normal data)
-                    from eoe_tpu.datasets import str_labels
-                    clsstr = str_labels(trainer.dsstr)[self.args.classes[0]]
-                    trainer.center = trainer.prepare_metric(clsstr, ds, base, it)
-                states = jax.tree_util.tree_map(
-                    lambda x: jnp.broadcast_to(x, (k, *x.shape)), base)
-                if chunk_sh is not None:
-                    states = jax.device_put(states, chunk_sh)
-                if trainer.epochs > 0:
-                    states, _ = self._train_fn(
-                        states, Xn, Ln, Xo, idx_n, idx_o, wj,
-                        keys, trainer.center, rt_stats)
-                # vmapped eval over shared device-resident test batches;
-                # scores concatenate on device -> one download per chunk
-                outs = [self._eval_fn(states,
-                                      jax.lax.slice_in_dim(Xt_d, i, i + B),
-                                      jax.lax.slice_in_dim(lbt_d, i, i + B),
-                                      trainer.center, rt_stats)
-                        for i in range(0, steps_t * B, B)]
-                scores = np.asarray(jnp.concatenate(outs, axis=1)
-                                    if len(outs) > 1 else outs[0])[:, :nt]
-                keep = test_labels >= 0
-                aucs = jax.vmap(lambda s: auroc_jax(
-                    jnp.asarray(test_labels[keep]), jnp.asarray(s[..., keep])))(
-                    jnp.asarray(scores))
-                fitness[start:start + k, it] = np.asarray(aucs)

@@ -452,10 +452,10 @@ def fused_qkv_attention(qkv: jax.Array, heads: int, causal: bool = False) -> jax
     ``causal`` applies the standard upper-triangular mask (the only mask the
     CLIP text encoder uses, reference model.py:324-330).
 
-    Sequences of any length enter and leave UNPADDED: the kernels DMA the
-    (n, s, F) HBM blocks straight into sublane-tile-padded VMEM scratch whose
-    pad rows are zeroed once, so no XLA-level pad/slice ops surround the
-    call, and the backward's pad rows never leave the chip."""
+    The wrapper pads the sequence to the 16-row sublane tile around the
+    kernel call and slices the outputs back (DMA moves whole memref tiles,
+    so unpadded s cannot be ingested directly — see the pipeline notes
+    above); sequences up to MAX_R rows per image are supported."""
     out, _ = _fused_fwd(qkv, heads, causal)
     return out
 
@@ -500,7 +500,7 @@ def _check_fused_shape(heads: int, d: int, s: int):
         raise ValueError(
             f"fused_qkv_attention requires LANE%d==0 and heads%(LANE//d)==0; "
             f"got heads={heads}, d={d} (use fused_qkv_ok() to gate)")
-    if s > MAX_R:
+    if _round_up(s, 16) > MAX_R:
         raise ValueError(f"sequence {s} exceeds the single-cell budget MAX_R={MAX_R}")
 
 
@@ -522,7 +522,7 @@ def fused_qkv_ok(n: int, s: int, heads: int, d: int, sample=None) -> bool:
     if dd is not None and getattr(dd, "platform", None) == "cpu":
         return False
     aligned = (d == 64 and heads % 2 == 0) or d == 128
-    return aligned and s <= MAX_R and n >= 1
+    return aligned and _round_up(s, 16) <= MAX_R and n >= 1
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())

@@ -120,7 +120,6 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
             mesh, PartitionSpec(None, DATA_AXIS if shard_seeds else None)))
         _tlog(f"mesh placement (seed axis {'sharded' if shard_seeds else 'replicated'} "
               f"over {dv} devices)", _t); _t = _time.time()
-    trainer._seed_axis_sharded = shard_seeds
     trainer._last_vmap_sharded = shard_seeds  # introspection for tests/logs
 
     def build_epoch_vmapped():
@@ -167,39 +166,51 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
 
         return epoch_loop
 
-    epoch_vmapped = trainer._cached(
-        ("vmap_seeds", type(ds).__name__, has_oe, tuple(Xn.shape[1:]), B, steps,
-         n_seeds, shard_seeds), build_epoch_vmapped)
-
-    # pre-sample every epoch's per-seed index plans and pack them into as few
-    # uploads as possible (fixed per-transfer latency on tunneled chips; the
-    # weight mask is {0,1} -> int-exact). One upload for the whole run when it
-    # fits in 64MB, one per epoch otherwise.
-    def pack_epoch():
-        plans = [s.epoch() for s in samplers]
-        assert all(np.array_equal(p[2], p[2].astype(np.int32)) for p in plans), \
-            "non-integer sampler weights cannot ride the packed int32 plan"
-        return np.stack([
-            np.stack([p[0] for p in plans]).astype(np.int32),
-            (np.stack([p[1] for p in plans]).astype(np.int32) if has_oe
-             else np.zeros((n_seeds, steps, B), np.int32)),
-            np.stack([p[2] for p in plans]).astype(np.int32)])
-
-    _tlog("build/jit epoch fn", _t); _t = _time.time()
-    per_epoch = [pack_epoch() for _ in range(trainer.epochs)]
-    all_plans = np.stack(per_epoch) if per_epoch else None
-    plans_d = (jnp.asarray(all_plans)
-               if all_plans is not None and all_plans.nbytes <= 64 * 2 ** 20 else None)
-    _tlog("plan sampling + upload", _t); _t = _time.time()
-
+    # the flag gates _constrain_batch at TRACE time; every trace below
+    # (epoch-fn build, per-epoch dispatch) runs under the try so any failure
+    # (plan-pack assert, OOM) cannot leak the disabled constraint to later
+    # sequential runs on the same trainer
+    trainer._seed_axis_sharded = shard_seeds
     last = None
     try:
+        epoch_vmapped = trainer._cached(
+            ("vmap_seeds", type(ds).__name__, has_oe, tuple(Xn.shape[1:]), B,
+             steps, n_seeds, shard_seeds), build_epoch_vmapped)
+
+        # pre-sample every epoch's per-seed index plans and pack them into as
+        # few uploads as possible (fixed per-transfer latency on tunneled
+        # chips; the weight mask is {0,1} -> int-exact). One upload for the
+        # whole run when it fits in 64MB, one per epoch otherwise; the upload
+        # carries the seed-axis sharding directly so the in-loop slicing
+        # never reshards.
+        def pack_epoch():
+            plans = [s.epoch() for s in samplers]
+            assert all(np.array_equal(p[2], p[2].astype(np.int32)) for p in plans), \
+                "non-integer sampler weights cannot ride the packed int32 plan"
+            return np.stack([
+                np.stack([p[0] for p in plans]).astype(np.int32),
+                (np.stack([p[1] for p in plans]).astype(np.int32) if has_oe
+                 else np.zeros((n_seeds, steps, B), np.int32)),
+                np.stack([p[2] for p in plans]).astype(np.int32)])
+
+        def put_plan(arr, lead_axes):
+            if mesh is None:
+                return jnp.asarray(arr)
+            spec = PartitionSpec(*([None] * lead_axes),
+                                 DATA_AXIS if shard_seeds else None)
+            return jax.device_put(arr, NamedSharding(mesh, spec))
+
+        _tlog("build/jit epoch fn", _t); _t = _time.time()
+        per_epoch = [pack_epoch() for _ in range(trainer.epochs)]
+        all_plans = np.stack(per_epoch) if per_epoch else None
+        plans_d = (put_plan(all_plans, 2)
+                   if all_plans is not None and all_plans.nbytes <= 64 * 2 ** 20
+                   else None)
+        _tlog("plan sampling + upload", _t); _t = _time.time()
+
         for ep in range(trainer.epochs):
-            plan = plans_d[ep] if plans_d is not None else jnp.asarray(per_epoch[ep])
-            if mesh is not None:
-                plan = jax.device_put(plan, NamedSharding(
-                    mesh, PartitionSpec(None, DATA_AXIS) if shard_seeds
-                    else PartitionSpec()))
+            plan = (plans_d[ep] if plans_d is not None
+                    else put_plan(per_epoch[ep], 1))
             idx_n = plan[0]
             idx_o = plan[1] if has_oe else plan[1][:, :, :1]
             w = plan[2].astype(jnp.float32)

@@ -219,7 +219,6 @@ def test_evolve_candidates_shard_over_mesh(tmp_path, mesh8):
     """SURVEY §2.7(b): full candidate chunks shard across the data mesh;
     fitness must match the single-shard vmapped evaluation (same seeds)."""
     import argparse
-    from eoe_tpu.evolve import Individual, init_individual
     from eoe_tpu.evolve.vmapped import VmappedEvaluator
     from eoe_tpu.main import evolve_trainer
     from eoe_tpu.models.cnn import CNN32
