@@ -447,3 +447,18 @@ def test_compute_dtype_flag_and_resume(tmp_path):
     assert np.isfinite(res["mean_auc"])
     setups = glob.glob(str(tmp_path / "**" / "setup.json"), recursive=True)
     assert any(json.load(open(s)).get("compute_dtype") == "bfloat16" for s in setups)
+
+
+def test_cli_mesh_vmap_seeds_shards_grid(tmp_path):
+    """`-d 8 --vmap-seeds --iterations 8` through a real runner: the CLI
+    builds the 8-device mesh and the vmapped seed grid shards across it."""
+    from eoe_tpu.main import train_cifar
+    _, res = train_cifar.main(
+        ["-e", "1", "--iterations", "8", "--classes", "0",
+         "--oe-dataset", "cifar100", "--datapath", str(tmp_path),
+         "--superdir", str(tmp_path), "-d", "8", "--vmap-seeds", "-b", "16"])
+    assert len(res["cls_aucs"][0]) == 8
+    assert all(np.isfinite(a) for a in res["cls_aucs"][0])
+    # the vmapped grid ran (and sharded: 8 seeds % 8 devices == 0, data mesh)
+    logs = glob.glob(str(tmp_path / "**" / "print.txt"), recursive=True)
+    assert logs and "seeds of cls 0 vmapped" in open(logs[0]).read()
