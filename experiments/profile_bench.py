@@ -73,6 +73,7 @@ def parse_trace(logdir: str, topk: int = 25):
         op_tids = {k for k in tid_names if k[0] in dev_pids}
     op_total = defaultdict(float)
     op_count = defaultdict(int)
+    op_args = {}
     total = 0.0
     tmin, tmax = float("inf"), 0.0
     for e in events:
@@ -86,6 +87,8 @@ def parse_trace(logdir: str, topk: int = 25):
                 continue
             op_total[name] += e["dur"]
             op_count[name] += 1
+            if name not in op_args:
+                op_args[name] = e.get("args", {})
             total += e["dur"]
             tmin = min(tmin, e["ts"])
             tmax = max(tmax, e["ts"] + e["dur"])
@@ -96,31 +99,35 @@ def parse_trace(logdir: str, topk: int = 25):
     for name, dur in sorted(op_total.items(), key=lambda kv: -kv[1])[:topk]:
         print(f"{name[:64]:64s} {op_count[name]:5d} {dur / 1e3:9.2f} {100 * dur / total:5.1f}")
 
-    # category rollup by name heuristics
+    # category rollup keyed by the profiler's own hlo_category (NOT op-name
+    # heuristics: dW conv fusions are named multiply_add_fusion and bare-name
+    # matching misfiled them as elementwise — the round-2/round-3 WRN
+    # accounting discrepancy documented in PARITY.md), with achieved FLOP/s
+    # and raw bandwidth from model_flops / raw_bytes_accessed. For fusion
+    # categories the dW-vs-forward split is by the multiply_add_fusion prefix
+    # (the fused-SGD dW emitters).
     cats = defaultdict(float)
+    cat_flops = defaultdict(float)
+    cat_bytes = defaultdict(float)
     for name, dur in op_total.items():
-        n = name.lower()
-        if "conv" in n:
-            cats["conv"] += dur
-        elif any(k in n for k in ("dot", "matmul", "einsum")):
-            cats["matmul"] += dur
-        elif "custom-call" in n or "custom_call" in n:
-            cats["custom-call(pallas)"] += dur
-        elif any(k in n for k in ("copy", "transpose", "bitcast", "reshape")):
-            cats["copy/transpose"] += dur
-        elif "select-and-scatter" in n:
-            cats["pool-backward"] += dur
-        elif "reduce" in n and "fusion" in n:
-            cats["reduce-fusion(BN stats/grads, pools)"] += dur
-        elif "fusion" in n:
-            cats["elementwise-fusion"] += dur
-        elif any(k in n for k in ("all-reduce", "all-gather", "reduce-scatter")):
-            cats["collective"] += dur
-        else:
-            cats["other"] += dur
-    print("\ncategory rollup:")
+        a = op_args.get(name, {})
+        c = a.get("hlo_category", "?")
+        if c == "convolution fusion":
+            c = ("conv dW(+update) fusion"
+                 if name.split(".")[0] == "multiply_add_fusion"
+                 else "conv/GEMM fusion (fwd/dX + epilogues)")
+        cats[c] += dur
+        try:
+            cat_flops[c] += float(a.get("model_flops", 0) or 0) * op_count[name]
+            cat_bytes[c] += float(a.get("raw_bytes_accessed", 0) or 0) * op_count[name]
+        except (TypeError, ValueError):
+            pass
+    print("\ncategory rollup (hlo_category):")
+    print(f"  {'category':38s} {'total_ms':>9s} {'%':>5s} {'TFLOP/s':>8s} {'GB/s':>6s}")
     for c, dur in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {c:20s} {dur / 1e3:9.2f}ms {100 * dur / total:5.1f}%")
+        fl = cat_flops[c] / (dur * 1e-6) / 1e12 if dur else 0.0
+        bw = cat_bytes[c] / (dur * 1e-6) / 1e9 if dur else 0.0
+        print(f"  {c:38s} {dur / 1e3:9.2f} {100 * dur / total:5.1f} {fl:8.1f} {bw:6.0f}")
 
 
 if __name__ == "__main__":
