@@ -133,9 +133,15 @@ def _nearest_excl_self(dists: np.ndarray, oneofkbest: int) -> int:
 def init_individual(oeds) -> int:
     """A random position into the OE subset; remembers the subset's original
     indices for later pinning (evolve/__init__.py:42-52)."""
+    ensure_valid_indices(oeds)
+    return int(_rng.integers(0, len(oeds.valid_indices)))
+
+
+def ensure_valid_indices(oeds):
+    """Pin the full OE index set once (evolve/__init__.py:42-52): individuals
+    index into this frozen snapshot while ``indices`` is swapped per run."""
     if not hasattr(oeds, "valid_indices"):
         oeds.valid_indices = np.asarray(oeds.indices).copy()
-    return int(_rng.integers(0, len(oeds.valid_indices)))
 
 
 def evaluate_individual(individual, trainer, args, toolbox) -> float:

@@ -623,7 +623,9 @@ class Trainer:
                 f'Gradients got NaN in the vmapped-seed run for class {c} "{cstr}"; '
                 f"falling back to sequential training.")
             return None
-        self.logger.print(f"trained {run_seeds} seeds of cls {c} vmapped")
+        sharded = " (seed axis sharded over the data mesh)" \
+            if getattr(self, "_last_vmap_sharded", False) else ""
+        self.logger.print(f"trained {run_seeds} seeds of cls {c} vmapped{sharded}")
         return ds, results
 
     def _build_dataset(self, c: int, rng: np.random.Generator, cur_load: Optional[str]):

@@ -21,6 +21,7 @@ import argparse
 import os
 import os.path as pt
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -36,8 +37,11 @@ def main(argv=None):
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--oesize", type=int, default=1)
     args = ap.parse_args(argv)
+    assert args.rounds >= 1 and args.pop >= 1 and args.oesize >= 1
     os.environ.setdefault("EOE_TPU_FAKE_DATA", "1")
+    workdir = tempfile.mkdtemp(prefix="eoe_evolve_bench_")
 
+    from eoe_tpu.evolve import ensure_valid_indices, evaluate_individual
     from eoe_tpu.evolve.vmapped import VmappedEvaluator
     from eoe_tpu.main import evolve_trainer
     from eoe_tpu.models.cnn import CNN32
@@ -49,8 +53,8 @@ def main(argv=None):
             "hsc", "", "cifar10", "cifar100", args.epochs, 1e-3, 0.0, [], 128,
             "one_vs_rest", None, CNN32(rep_dim=256), [{"op": "random_hflip"},
                                                       "normalize"], ["normalize"],
-            classes=[0], dataset_path="/tmp/evolve_bench_data",
-            superdir=f"/tmp/evolve_bench_{tag}")
+            classes=[0], dataset_path=pt.join(workdir, "data"),
+            superdir=pt.join(workdir, tag))
         trainer.logger.active = False
         return trainer, oeds
 
@@ -58,8 +62,7 @@ def main(argv=None):
 
     # ---- vmapped: the whole population as one chunk
     trainer, oeds = build("vmapped")
-    if not hasattr(oeds, "valid_indices"):
-        oeds.valid_indices = np.asarray(oeds.indices).copy()
+    ensure_valid_indices(oeds)
     n_oe = len(oeds.valid_indices)
     pops = [[[int(rng.integers(0, n_oe)) for _ in range(args.oesize)]
              for _ in range(args.pop)] for _ in range(args.rounds)]
@@ -73,10 +76,8 @@ def main(argv=None):
     print(f"vmapped rounds: {[f'{t:.1f}s' for t in t_vmap]}")
 
     # ---- sequential: one full trainer.run per individual (reference shape)
-    from eoe_tpu.evolve import evaluate_individual
     trainer, oeds = build("sequential")
-    if not hasattr(oeds, "valid_indices"):
-        oeds.valid_indices = np.asarray(oeds.indices).copy()
+    ensure_valid_indices(oeds)
     t_seq = []
     for pop in pops:
         t0 = time.perf_counter()

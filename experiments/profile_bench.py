@@ -73,7 +73,9 @@ def parse_trace(logdir: str, topk: int = 25):
         op_tids = {k for k in tid_names if k[0] in dev_pids}
     op_total = defaultdict(float)
     op_count = defaultdict(int)
-    op_args = {}
+    cats = defaultdict(float)
+    cat_flops = defaultdict(float)
+    cat_bytes = defaultdict(float)
     total = 0.0
     tmin, tmax = float("inf"), 0.0
     for e in events:
@@ -87,11 +89,23 @@ def parse_trace(logdir: str, topk: int = 25):
                 continue
             op_total[name] += e["dur"]
             op_count[name] += 1
-            if name not in op_args:
-                op_args[name] = e.get("args", {})
             total += e["dur"]
             tmin = min(tmin, e["ts"])
             tmax = max(tmax, e["ts"] + e["dur"])
+            # category accounting PER EVENT (same-named ops from different
+            # XLA modules can differ, so no name-level arg caching)
+            a = e.get("args", {})
+            c = a.get("hlo_category", "?")
+            if c == "convolution fusion":
+                c = ("conv dW(+update) fusion"
+                     if name.split(".")[0] == "multiply_add_fusion"
+                     else "conv/GEMM fusion (fwd/dX + epilogues)")
+            cats[c] += e["dur"]
+            try:
+                cat_flops[c] += float(a.get("model_flops", 0) or 0)
+                cat_bytes[c] += float(a.get("raw_bytes_accessed", 0) or 0)
+            except (TypeError, ValueError):
+                pass
     span = tmax - tmin
     print(f"\ndevice busy {total / 1e3:.1f}ms over a {span / 1e3:.1f}ms span "
           f"({100 * total / max(span, 1):.0f}% busy)")
@@ -106,22 +120,10 @@ def parse_trace(logdir: str, topk: int = 25):
     # and raw bandwidth from model_flops / raw_bytes_accessed. For fusion
     # categories the dW-vs-forward split is by the multiply_add_fusion prefix
     # (the fused-SGD dW emitters).
-    cats = defaultdict(float)
-    cat_flops = defaultdict(float)
-    cat_bytes = defaultdict(float)
-    for name, dur in op_total.items():
-        a = op_args.get(name, {})
-        c = a.get("hlo_category", "?")
-        if c == "convolution fusion":
-            c = ("conv dW(+update) fusion"
-                 if name.split(".")[0] == "multiply_add_fusion"
-                 else "conv/GEMM fusion (fwd/dX + epilogues)")
-        cats[c] += dur
-        try:
-            cat_flops[c] += float(a.get("model_flops", 0) or 0) * op_count[name]
-            cat_bytes[c] += float(a.get("raw_bytes_accessed", 0) or 0) * op_count[name]
-        except (TypeError, ValueError):
-            pass
+    if cats.get("?", 0.0) > 0.5 * max(total, 1):
+        print("\nWARNING: most op events carry no hlo_category — the rollup "
+              "below is unreliable (degraded profiler trace? see the module "
+              "docstring's caveat); per-op durations above remain valid.")
     print("\ncategory rollup (hlo_category):")
     print(f"  {'category':38s} {'total_ms':>9s} {'%':>5s} {'TFLOP/s':>8s} {'GB/s':>6s}")
     for c, dur in sorted(cats.items(), key=lambda kv: -kv[1]):

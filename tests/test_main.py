@@ -459,6 +459,7 @@ def test_cli_mesh_vmap_seeds_shards_grid(tmp_path):
          "--superdir", str(tmp_path), "-d", "8", "--vmap-seeds", "-b", "16"])
     assert len(res["cls_aucs"][0]) == 8
     assert all(np.isfinite(a) for a in res["cls_aucs"][0])
-    # the vmapped grid ran (and sharded: 8 seeds % 8 devices == 0, data mesh)
+    # the vmapped grid ran AND sharded (8 seeds % 8 devices == 0, data mesh)
     logs = glob.glob(str(tmp_path / "**" / "print.txt"), recursive=True)
-    assert logs and "seeds of cls 0 vmapped" in open(logs[0]).read()
+    assert logs and ("seeds of cls 0 vmapped (seed axis sharded over the "
+                     "data mesh)") in open(logs[0]).read()
