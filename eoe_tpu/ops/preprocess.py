@@ -349,7 +349,10 @@ def compile_conditional(conditionals: Sequence[Tuple[int, Optional[Sequence[Spec
 
     def apply(images: Array, labels: Array, key: Optional[Array] = None, rt_stats=None) -> Array:
         images = jnp.asarray(images)
-        if images.dtype == jnp.uint8:
+        # only convert when branches actually run (jnp.where merges arithmetic
+        # results); an empty conditional list must pass uint8 through so the
+        # main pipeline's index-only prefix keeps its 4x cheaper byte moves
+        if compiled and images.dtype == jnp.uint8:
             images = images.astype(jnp.float32) / 255.0
         for cond, f1, f2 in compiled:
             k1 = k2 = None
