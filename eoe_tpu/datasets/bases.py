@@ -165,6 +165,12 @@ class ADDataset:
     compilation. Parity: bases.py:79-495.
     """
 
+    # folder-backed datasets set this so random crops resample degenerate
+    # (all-white-border) results, matching the reference's std<1e-15 retry
+    # (imagenet.py:193-195, imagenetoe.py:146-148, cub.py:131-133,
+    # custom.py:380-382); see ops.preprocess.random_crop
+    degenerate_crop_guard = False
+
     def __init__(self, root: str, normal_classes: Sequence[int], nominal_label: int,
                  train_specs: Sequence, test_specs: Sequence, n_classes: int,
                  raw_shape: Tuple[int, int, int], logger=None,
@@ -231,10 +237,11 @@ class ADDataset:
                           for s in (self.train_specs + self.test_specs))
         if needs_stats and self._stats is None:
             self._stats = self._extract_stats()
-        self._train_pipeline = compile_pipeline(self.train_specs, self._stats)
-        self._test_pipeline = compile_pipeline(self.test_specs, self._stats)
-        self._train_cond_pipeline = compile_conditional(self.train_conditional, self._stats)
-        self._test_cond_pipeline = compile_conditional(self.test_conditional, self._stats)
+        guard = self.degenerate_crop_guard
+        self._train_pipeline = compile_pipeline(self.train_specs, self._stats, guard)
+        self._test_pipeline = compile_pipeline(self.test_specs, self._stats, guard)
+        self._train_cond_pipeline = compile_conditional(self.train_conditional, self._stats, guard)
+        self._test_cond_pipeline = compile_conditional(self.test_conditional, self._stats, guard)
         return self
 
     def _extract_stats(self) -> DatasetStats:

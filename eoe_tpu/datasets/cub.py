@@ -46,6 +46,7 @@ def _load_labels(ds_root: str):
 
 class ADCUB(ADDataset):
     base_folder = "cub"
+    degenerate_crop_guard = True  # reference white-crop retry parity
 
     def __init__(self, root: str, normal_classes, nominal_label, train_specs, test_specs,
                  raw_shape, logger=None, limit_samples=float("inf"),

@@ -101,6 +101,7 @@ def _is_img(fn: str) -> bool:
 
 class ADCustomDS(ADDataset):
     base_folder = "custom"
+    degenerate_crop_guard = True  # reference white-crop retry parity
     ovr = False
     classes: List[str] = []
     train_only = False

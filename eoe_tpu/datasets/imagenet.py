@@ -57,6 +57,7 @@ def _remap_targets(targets: np.ndarray, classes: List[str], keep: List[str]) -> 
 
 class ADImageNet(ADDataset):
     base_folder = "imagenet_ad"
+    degenerate_crop_guard = True  # reference white-crop retry parity
 
     def __init__(self, root: str, normal_classes, nominal_label, train_specs, test_specs,
                  raw_shape, logger=None, limit_samples=float("inf"),

@@ -15,6 +15,7 @@ from eoe_tpu.datasets.folder import FolderSource, scan_image_folder
 
 class ADImageNetOE(ADDataset):
     base_folder = "imagenet"
+    degenerate_crop_guard = True  # reference white-crop retry parity
 
     def __init__(self, root: str, normal_classes, nominal_label, train_specs, test_specs,
                  raw_shape, logger=None, limit_samples=float("inf"),

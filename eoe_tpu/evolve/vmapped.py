@@ -40,8 +40,12 @@ class VmappedEvaluator:
         self.trainer = trainer
         self.args = args
         self.chunk = chunk
-        self._train_fn = None
-        self._eval_fn = None
+        # compiled (train_fn, eval_fn) pairs keyed by the _seed_axis_sharded
+        # flag: the flag gates Trainer._constrain_batch at TRACE time, so it
+        # must be part of the compiled-function identity — a single jit cache
+        # keyed only on avals/shardings would silently reuse a trace made
+        # under the other flag value (advisor finding, round 3)
+        self._fns = {}
 
     # ------------------------------------------------------------- build
 
@@ -79,7 +83,7 @@ class VmappedEvaluator:
                 return state, losses
 
             # vmap: candidate axis on (state, Xo_cand); shared everything else
-            self._train_fn = jax.jit(jax.vmap(
+            train_fn = jax.jit(jax.vmap(
                 train_full, in_axes=(0, None, None, 0, None, None, None, None, None, None)))
         else:
             # CPU fallback: per-step dispatch of the vmapped core
@@ -103,7 +107,7 @@ class VmappedEvaluator:
                            else jnp.zeros((idx_n.shape[0], 0), jnp.float32))
                 return states, stacked
 
-            self._train_fn = train_loop
+            train_fn = train_loop
 
         def fwd(state, x, labels, center, rt_stats):
             x = trainer._preprocess(ds, x, labels, None, False, "normal", rt_stats)
@@ -115,7 +119,7 @@ class VmappedEvaluator:
             return trainer.objective.score(
                 feats, center, **trainer._loss_kwargs(x)).reshape(-1)
 
-        self._eval_fn = jax.jit(jax.vmap(fwd, in_axes=(0, None, None, None, None)))
+        return train_fn, jax.jit(jax.vmap(fwd, in_axes=(0, None, None, None, None)))
 
     # ------------------------------------------------------------- evaluate
 
@@ -182,8 +186,10 @@ class VmappedEvaluator:
         # the _seed_axis_sharded flag gates Trainer._constrain_batch at TRACE
         # time and is set PER CHUNK below: sharded chunks trace without the
         # batch constraint (the data axis carries candidates), replicated
-        # remainder chunks retrace (different k -> different avals) WITH it,
-        # keeping their per-candidate batch data-parallelism
+        # remainder chunks trace WITH it, keeping their per-candidate batch
+        # data-parallelism. Each flag value gets its OWN jitted functions
+        # (self._fns) so equal-aval calls can never reuse a trace made under
+        # the other flag value.
         try:
             for it in range(iterations):
                 key = jax.random.fold_in(jax.random.fold_in(
@@ -191,8 +197,6 @@ class VmappedEvaluator:
                 sampler = BalancedEpochSampler(
                     n, oesize, trainer.batch_size,
                     int(jax.random.randint(jax.random.fold_in(key, 1), (), 0, 2 ** 31 - 1)))
-                if self._train_fn is None:
-                    self._build(oesize, n, sampler.steps)
                 # one shared epoch plan for all candidates
                 idx_n, idx_o, w = [], [], []
                 for _ in range(trainer.epochs):
@@ -216,8 +220,13 @@ class VmappedEvaluator:
                     k = len(chunk)
                     dv = cand_sh.mesh.shape[cand_sh.spec[0]] if cand_sh is not None else 1
                     chunk_sh = cand_sh if (cand_sh is not None and k % dv == 0) else repl
-                    # per-chunk trace gate (see the comment above the try)
-                    trainer._seed_axis_sharded = chunk_sh is cand_sh and cand_sh is not None
+                    # per-chunk trace gate (see the comment above the try);
+                    # the flag selects the matching compiled-function pair
+                    sharded = chunk_sh is cand_sh and cand_sh is not None
+                    trainer._seed_axis_sharded = sharded
+                    if sharded not in self._fns:
+                        self._fns[sharded] = self._build(oesize, n, sampler.steps)
+                    train_fn, eval_fn = self._fns[sharded]
                     Xo = jnp.asarray(np.stack([oe_images(ind) for ind in chunk]))
                     if chunk_sh is not None:
                         Xo = jax.device_put(Xo, chunk_sh)
@@ -233,12 +242,12 @@ class VmappedEvaluator:
                     if chunk_sh is not None:
                         states = jax.device_put(states, chunk_sh)
                     if trainer.epochs > 0:
-                        states, _ = self._train_fn(
+                        states, _ = train_fn(
                             states, Xn, Ln, Xo, idx_n, idx_o, wj,
                             keys, trainer.center, rt_stats)
                     # vmapped eval over shared device-resident test batches;
                     # scores concatenate on device -> one download per chunk
-                    outs = [self._eval_fn(states,
+                    outs = [eval_fn(states,
                                           jax.lax.slice_in_dim(Xt_d, i, i + B),
                                           jax.lax.slice_in_dim(lbt_d, i, i + B),
                                           trainer.center, rt_stats)

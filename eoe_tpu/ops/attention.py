@@ -493,13 +493,17 @@ fused_qkv_attention.defvjp(_fused_fwd, _fused_bwd)
 
 def _check_fused_shape(heads: int, d: int, s: int):
     # the lane-group trick only computes exact results when heads tile the
-    # 128-lane groups evenly; reject misaligned configs loudly instead of
-    # silently dropping heads / producing misaligned slices
-    per = LANE // d if d and LANE % d == 0 else 0
+    # 128-lane groups evenly AND the pair-packing compute path covers the
+    # group (it handles per==1 and per==2 only: d in {64,128}; per>2 would
+    # silently zero heads beyond the first two lane quarters). d=64 also
+    # relies on the bf16 q-prescale 2^-3 being exact. Reject everything else
+    # loudly instead of returning wrong outputs.
+    per = LANE // d if d in (64, 128) else 0
     if per == 0 or heads % per != 0:
         raise ValueError(
-            f"fused_qkv_attention requires LANE%d==0 and heads%(LANE//d)==0; "
-            f"got heads={heads}, d={d} (use fused_qkv_ok() to gate)")
+            f"fused_qkv_attention requires d in (64, 128) and "
+            f"heads%(LANE//d)==0; got heads={heads}, d={d} "
+            f"(use fused_qkv_ok() to gate)")
     if _round_up(s, 16) > MAX_R:
         raise ValueError(f"sequence {s} exceeds the single-cell budget MAX_R={MAX_R}")
 

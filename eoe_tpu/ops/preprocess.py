@@ -152,13 +152,21 @@ def center_crop(images: Array, size: Tuple[int, int]) -> Array:
     return images[:, i:i + th, j:j + tw, :]
 
 
-def random_crop(images: Array, key: Array, size: Tuple[int, int], padding: int = 0) -> Array:
+def random_crop(images: Array, key: Array, size: Tuple[int, int], padding: int = 0,
+                resample_degenerate: bool = False) -> Array:
     """Per-sample random crop with optional zero padding.
 
     Implemented as two per-sample axis gathers (take_along_axis): a vmapped
     dynamic_slice lowers to ~93ms for a 128x256x256x3 batch on v5e while the
     gather form takes 0.4ms — 233x — with bit-identical output (same key
-    split and randint draws)."""
+    split and randint draws).
+
+    ``resample_degenerate``: the reference recursively re-draws crops whose
+    pixel std is < 1e-15 — all-white JPEG borders in the folder datasets
+    (imagenet.py:193-195, imagenetoe.py:146-148, cub.py:131-133,
+    custom.py:380-382). Recursion is data-dependent control flow, so the
+    fixed-shape equivalent falls back to the center crop (never degenerate
+    unless the whole image is), selected per sample with jnp.where."""
     if padding > 0:
         images = jnp.pad(images, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
     n, h, w, c = images.shape
@@ -169,7 +177,14 @@ def random_crop(images: Array, key: Array, size: Tuple[int, int], padding: int =
     rows = tops[:, None] + jnp.arange(th)
     cols = lefts[:, None] + jnp.arange(tw)
     out = jnp.take_along_axis(images, rows[:, :, None, None], axis=1)
-    return jnp.take_along_axis(out, cols[:, None, :, None], axis=2)
+    out = jnp.take_along_axis(out, cols[:, None, :, None], axis=2)
+    if resample_degenerate:
+        flat = out.astype(jnp.float32).reshape(n, -1)
+        degenerate = jnp.std(flat, axis=1) < 1e-6  # 0 for constant crops in
+        # both uint8 and [0,1] float; strictly positive otherwise
+        out = jnp.where(degenerate[:, None, None, None],
+                        center_crop(images, size), out)
+    return out
 
 
 def random_hflip(images: Array, key: Array, p: float = 0.5) -> Array:
@@ -210,9 +225,15 @@ class PipelineError(ValueError):
 
 
 def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None,
+                     degenerate_crop_guard: bool = False,
                      ) -> Callable[[Array, Optional[Array]], Array]:
     """Compile transform specs into one batched device function
-    ``fn(images, key) -> images``. ``key`` may be None if no spec is random."""
+    ``fn(images, key) -> images``. ``key`` may be None if no spec is random.
+
+    ``degenerate_crop_guard``: default for ``random_crop``'s
+    ``resample_degenerate`` (folder-backed datasets set it so any pipeline
+    they feed gets the reference's white-crop resampling; an explicit
+    per-spec ``resample_degenerate`` key still wins)."""
     steps: List[Tuple[bool, Callable]] = []  # (needs_key, fn); fn may take rt_stats kw
     STATS_OP = "__stats__"  # sentinel: fn additionally receives runtime stats
     # index-only ops (flips, crops) commute with the monotone uint8->float
@@ -240,7 +261,10 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
         elif op == "random_crop":
             size = s["size"]
             size = (size, size) if isinstance(size, int) else tuple(size)
-            steps.append((True, partial(random_crop, size=size, padding=int(s.get("padding", 0)))))
+            steps.append((True, partial(
+                random_crop, size=size, padding=int(s.get("padding", 0)),
+                resample_degenerate=bool(s.get("resample_degenerate",
+                                               degenerate_crop_guard)))))
         elif op in ("random_hflip", "random_horizontal_flip"):
             steps.append((True, partial(random_hflip, p=float(s.get("p", 0.5)))))
         elif op == "color_jitter":
@@ -333,7 +357,8 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
 
 
 def compile_conditional(conditionals: Sequence[Tuple[int, Optional[Sequence[Spec]], Optional[Sequence[Spec]]]],
-                        stats: Optional[DatasetStats] = None) -> Callable[[Array, Array, Optional[Array]], Array]:
+                        stats: Optional[DatasetStats] = None,
+                        degenerate_crop_guard: bool = False) -> Callable[[Array, Array, Optional[Array]], Array]:
     """Compile label-conditional transforms: list of (cond, specs_eq, specs_neq).
 
     Equivalent to the reference's batched-GPU ConditionalCompose
@@ -341,8 +366,8 @@ def compile_conditional(conditionals: Sequence[Tuple[int, Optional[Sequence[Spec
     and merged with jnp.where on the label — fixed shapes under jit."""
     compiled = [
         (cond,
-         compile_pipeline(t1 or [], stats),
-         compile_pipeline(t2 or [], stats))
+         compile_pipeline(t1 or [], stats, degenerate_crop_guard),
+         compile_pipeline(t2 or [], stats, degenerate_crop_guard))
         for cond, t1, t2 in (conditionals or ())
     ]
     n_random = sum(f1.n_random + f2.n_random for _, f1, f2 in compiled)

@@ -103,6 +103,22 @@ def test_fused_qkv_gate():
     assert not fused_qkv_ok(4, 50, 12, 64)  # tests run on the CPU backend
 
 
+def test_fused_qkv_rejects_small_head_dims(rng):
+    """The pair-packing compute path covers per-group head counts 1 and 2
+    only (d in {64, 128}); d=32/16 used to pass the shape check but return
+    silently wrong outputs (advisor finding, round 3) — they must raise."""
+    from eoe_tpu.ops.attention import _check_fused_shape, fused_qkv_attention
+
+    for heads, d in [(4, 32), (8, 16), (12, 48)]:
+        with pytest.raises(ValueError):
+            _check_fused_shape(heads, d, 50)
+        qkv = jnp.asarray(rng.normal(0, 1, (2, 50, 3 * heads * d)), jnp.float32)
+        with pytest.raises(ValueError):
+            fused_qkv_attention(qkv, heads, False)
+    _check_fused_shape(12, 64, 50)  # the CLIP ViT-B/32 config stays valid
+    _check_fused_shape(4, 128, 50)
+
+
 def test_fused_qkv_vmapped_forward_matches(rng):
     """Vmapped programs (seed-vmapped grids, vmapped evolution candidates)
     keep the fused kernel: the custom_vmap rule collapses the vmap axis into

@@ -122,6 +122,28 @@ def test_evolve_runner(tmp_path):
     assert pt.exists(pt.join(evolve_dirs[0], "overview_best.png"))
 
 
+def test_evolve_smoke_plumbing(tmp_path, capsys, monkeypatch):
+    """experiments/evolve_smoke.py end-to-end with fake data: runs the real
+    GA driver for 1 generation and prints the fitness-history JSON
+    (acceptance-config coverage, BASELINE.md config 5)."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "evolve_smoke", pt.join(pt.dirname(pt.dirname(pt.abspath(__file__))),
+                                "experiments", "evolve_smoke.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.setenv("EOE_TPU_FAKE_DATA", "1")
+    rc = mod.main(["--dataset", "cifar10", "--generations", "1", "--pop", "2",
+                   "--epochs", "1", "--datapath", str(tmp_path / "data"),
+                   "--logpath", str(tmp_path / "log")])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["smoke"].startswith("evolutionary OE search cifar10")
+    assert len(rec["mean_fitness_per_gen"]) == 1
+    assert rec["best"] is not None and len(rec["best"]["indices"]) == 1
+
+
 def test_random_oe_runner(tmp_path):
     from eoe_tpu.main import random_oe_cifar
     history, _ = random_oe_cifar.main(base_args(tmp_path, ["--ev-samples", "2"]))

@@ -62,6 +62,41 @@ def test_random_crop_padding(imgs):
     assert out.shape == (8, 16, 16, 3)
 
 
+def test_random_crop_degenerate_guard():
+    # reference parity: crops whose std < 1e-15 (all-white JPEG borders) are
+    # re-drawn (imagenet.py:193-195); the fixed-shape equivalent falls back
+    # to the center crop. Image: white except a black center pixel — most
+    # random 4x4 crops of the 32x32 image are all-white (degenerate), the
+    # center crop never is.
+    img = np.full((4, 32, 32, 3), 255, np.uint8)
+    img[:, 15:17, 15:17, :] = 0
+    spec = [{"op": "random_crop", "size": 4, "resample_degenerate": True}]
+    out = np.asarray(compile_pipeline(spec)(jnp.array(img), jax.random.key(3)))
+    # every sample must contain the black pixel (either its random crop did,
+    # or it was replaced by the center crop)
+    assert (out.reshape(4, -1).min(axis=1) == 0).all()
+    # without the guard, the same key yields at least one all-white crop
+    base = [{"op": "random_crop", "size": 4}]
+    raw = np.asarray(compile_pipeline(base)(jnp.array(img), jax.random.key(3)))
+    assert (raw.reshape(4, -1).min(axis=1) > 0).any()
+    # non-degenerate crops are bit-identical with and without the guard
+    rnd = np.random.default_rng(0).integers(0, 255, (4, 32, 32, 3)).astype(np.uint8)
+    a = np.asarray(compile_pipeline(spec)(jnp.array(rnd), jax.random.key(1)))
+    b = np.asarray(compile_pipeline(base)(jnp.array(rnd), jax.random.key(1)))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dataset_degenerate_crop_guard_flag():
+    # folder-backed datasets opt in at the class level; the flag is the
+    # compile-time default for their random_crop specs
+    from eoe_tpu.datasets.custom import ADCustomDS
+    from eoe_tpu.datasets.imagenet import ADImageNet
+    from eoe_tpu.datasets.bases import ADDataset
+
+    assert ADImageNet.degenerate_crop_guard and ADCustomDS.degenerate_crop_guard
+    assert not ADDataset.degenerate_crop_guard
+
+
 def test_clip_preprocessing_specs(imgs):
     fn = compile_pipeline([{"op": "clip_pil_preprocessing", "resolution": 32},
                            "clip_tensor_preprocessing"])
