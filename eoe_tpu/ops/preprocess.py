@@ -179,11 +179,78 @@ def random_crop(images: Array, key: Array, size: Tuple[int, int], padding: int =
     out = jnp.take_along_axis(images, rows[:, :, None, None], axis=1)
     out = jnp.take_along_axis(out, cols[:, None, :, None], axis=2)
     if resample_degenerate:
-        flat = out.astype(jnp.float32).reshape(n, -1)
-        degenerate = jnp.std(flat, axis=1) < 1e-6  # 0 for constant crops in
-        # both uint8 and [0,1] float; strictly positive otherwise
-        out = jnp.where(degenerate[:, None, None, None],
-                        center_crop(images, size), out)
+        out = _degenerate_to_center(out, images, size)
+    return out
+
+
+def _is_degenerate(out: Array) -> Array:
+    """Per-sample constancy mask. The reference's std<1e-15 detects
+    exactly-constant crops; max-min over the image axes is the cheap
+    equivalent (raw-dtype reads — 4x cheaper than an f32 std for uint8, no
+    multiplies, and no flatten-reshape, which materialized a relayouted
+    (n, 150528) copy at 0.55ms/step in the acceptance trace)."""
+    spread = out.max(axis=(1, 2, 3)) - out.min(axis=(1, 2, 3))
+    eps = 0 if out.dtype == jnp.uint8 else jnp.asarray(1e-6, out.dtype)
+    return spread <= eps
+
+
+def _degenerate_to_center(out: Array, images: Array, size,
+                          flip: Optional[Array] = None,
+                          flip_first: bool = False) -> Array:
+    """Replace degenerate (constant) crops by the center crop — the
+    fixed-shape equivalent of the reference's re-draw (imagenet.py:193-195).
+    ``flip``: (n,1,1,1) bool — when the flip was folded into the crop gather
+    (random_crop_hflip), the fallback must match the unfused composition
+    bit-for-bit: crop→flip flips the center window in place; flip→crop takes
+    the MIRRORED center window of the unflipped image reversed (the two
+    differ by one column when (w - tw) is odd)."""
+    n, h, w, c = images.shape
+    th, tw = size
+    center = center_crop(images, size)
+    if flip is not None:
+        if flip_first:
+            ci, cj2 = (h - th) // 2, (w - tw) - (w - tw) // 2
+            alt = images[:, ci:ci + th, cj2:cj2 + tw, :][:, :, ::-1, :]
+        else:
+            alt = center[:, :, ::-1, :]
+        center = jnp.where(flip, alt, center)
+    return jnp.where(_is_degenerate(out).reshape(n, 1, 1, 1), center, out)
+
+
+def random_crop_hflip(images: Array, key_crop: Array, key_flip: Array,
+                      size: Tuple[int, int], padding: int = 0, p: float = 0.5,
+                      resample_degenerate: bool = False,
+                      flip_first: bool = False) -> Array:
+    """random_crop and random_hflip FUSED into one pair of gathers: the flip
+    becomes a per-sample reversal of the crop's column indices, eliminating
+    the standalone ``reverse`` ops (1.24ms/step in the CLIP acceptance trace)
+    and one full-batch materialization. Bit-identical to the unfused ops —
+    each draws from its own key exactly as alone; ``flip_first`` selects the
+    hflip→crop composition (WRN/CIFAR stacks) vs crop→hflip (CLIP stacks):
+
+      flip(crop(x))[i, j] = x[top+i, left + (tw-1-j)]            (mirror cols)
+      crop(flip(x))[i, j] = x[top+i, (W-1) - left - j]           (mirror offsets)
+    """
+    if padding > 0:
+        images = jnp.pad(images, ((0, 0), (padding, padding), (padding, padding), (0, 0)))
+    n, h, w, c = images.shape
+    th, tw = size
+    ki, kj = jax.random.split(key_crop)
+    tops = jax.random.randint(ki, (n,), 0, h - th + 1)
+    lefts = jax.random.randint(kj, (n,), 0, w - tw + 1)
+    flip = jax.random.bernoulli(key_flip, p, (n, 1, 1, 1))
+    j = jnp.arange(tw)
+    if flip_first:
+        cols = jnp.where(flip[:, :, 0, 0], (w - 1) - lefts[:, None] - j,
+                         lefts[:, None] + j)
+    else:
+        cols = lefts[:, None] + jnp.where(flip[:, :, 0, 0], tw - 1 - j, j)
+    rows = tops[:, None] + jnp.arange(th)
+    out = jnp.take_along_axis(images, rows[:, :, None, None], axis=1)
+    out = jnp.take_along_axis(out, cols[:, None, :, None], axis=2)
+    if resample_degenerate:
+        out = _degenerate_to_center(out, images, size, flip=flip,
+                                    flip_first=flip_first)
     return out
 
 
@@ -244,10 +311,45 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
                "center_crop"}
 
     u8_safe: List[bool] = []  # parallel to steps
-    for raw in specs or ():
+    HFLIP_OPS = ("random_hflip", "random_horizontal_flip")
+
+    def _crop_kw(s):
+        size = s["size"]
+        return dict(size=(size, size) if isinstance(size, int) else tuple(size),
+                    padding=int(s.get("padding", 0)),
+                    resample_degenerate=bool(s.get("resample_degenerate",
+                                                   degenerate_crop_guard)))
+
+    specs_list = list(specs or ())
+    skip_next = False
+    for si, raw in enumerate(specs_list):
+        if skip_next:
+            skip_next = False
+            continue
         s = _canon(raw)
         op = s["op"].lower()
+        nxt = _canon(specs_list[si + 1]) if si + 1 < len(specs_list) else {}
+        nxt_op = str(nxt.get("op", "")).lower()
         n_before = len(steps)
+        # peephole: adjacent random_crop + random_hflip fuse into ONE pair of
+        # gathers (random_crop_hflip) — the flip rides the crop's column
+        # indices, bit-identical to the unfused ops (each keeps its own key,
+        # consumed in spec order), killing the standalone reverse ops
+        # (1.24ms/step in the CLIP acceptance trace)
+        if op == "random_crop" and nxt_op in HFLIP_OPS:
+            steps.append((2, partial(random_crop_hflip, flip_first=False,
+                                     p=float(nxt.get("p", 0.5)), **_crop_kw(s))))
+            u8_safe.append(True)
+            skip_next = True
+            continue
+        if op in HFLIP_OPS and nxt_op == "random_crop":
+            fn = partial(random_crop_hflip, flip_first=True,
+                         p=float(s.get("p", 0.5)), **_crop_kw(nxt))
+            # unfused order draws the flip's key FIRST; preserve it
+            steps.append((2, lambda x, k1, k2, fn=fn: fn(x, k2, k1)))
+            u8_safe.append(True)
+            skip_next = True
+            continue
         if op in ("to_tensor", "totensor", "rgb"):
             continue  # images are already float NHWC in [0,1]
         elif op == "resize":
@@ -259,12 +361,7 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             size = (size, size) if isinstance(size, int) else tuple(size)
             steps.append((False, partial(center_crop, size=size)))
         elif op == "random_crop":
-            size = s["size"]
-            size = (size, size) if isinstance(size, int) else tuple(size)
-            steps.append((True, partial(
-                random_crop, size=size, padding=int(s.get("padding", 0)),
-                resample_degenerate=bool(s.get("resample_degenerate",
-                                               degenerate_crop_guard)))))
+            steps.append((True, partial(random_crop, **_crop_kw(s))))
         elif op in ("random_hflip", "random_horizontal_flip"):
             steps.append((True, partial(random_hflip, p=float(s.get("p", 0.5)))))
         elif op == "color_jitter":
@@ -320,7 +417,8 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             raise PipelineError(f"unknown transform op: {op!r} (spec {raw!r})")
         u8_safe.extend([op in U8_SAFE] * (len(steps) - n_before))
 
-    n_random = sum(1 for kind, _ in steps if kind is True)
+    n_random = sum(2 if kind == 2 else 1 for kind, _ in steps
+                   if kind is True or kind == 2)
 
     def _to_float(images: Array) -> Array:
         if images.dtype == jnp.uint8:
@@ -341,6 +439,9 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             if kind is True:
                 images = fn(images, keys[ki])
                 ki += 1
+            elif kind == 2:  # fused crop+flip: consumes both ops' keys
+                images = fn(images, keys[ki], keys[ki + 1])
+                ki += 2
             elif kind == STATS_OP:
                 images = fn(images, rt_stats)
             else:

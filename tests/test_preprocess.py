@@ -86,6 +86,43 @@ def test_random_crop_degenerate_guard():
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.parametrize("order", ["crop_flip", "flip_crop"])
+@pytest.mark.parametrize("guard", [False, True])
+def test_crop_hflip_fusion_bit_identical(order, guard):
+    """compile_pipeline fuses adjacent random_crop + random_hflip into one
+    pair of gathers (the flip rides the column indices); outputs must be
+    BIT-identical to the unfused ops for both compositions, with and without
+    the degenerate-crop guard, in uint8 and float."""
+    from eoe_tpu.ops.preprocess import random_crop, random_hflip
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (8, 21, 21, 3)).astype(np.uint8)
+    img[:2] = 255  # degenerate once cropped
+    crop = {"op": "random_crop", "size": 9, "padding": 2,
+            "resample_degenerate": guard}
+    flip = {"op": "random_hflip", "p": 0.5}
+    specs = [crop, flip] if order == "crop_flip" else [flip, crop]
+    fused = compile_pipeline(specs)
+    assert fused.n_random == 2
+
+    def unfused(x, key):
+        k1, k2 = jax.random.split(key, 2)
+        if order == "crop_flip":
+            x = random_crop(x, k1, (9, 9), padding=2, resample_degenerate=guard)
+            return random_hflip(x, k2, 0.5)
+        x = random_hflip(x, k1, 0.5)
+        return random_crop(x, k2, (9, 9), padding=2, resample_degenerate=guard)
+
+    for dtype_in in (img, img.astype(np.float32) / 255.0):
+        for seed in range(4):
+            key = jax.random.key(seed)
+            a = np.asarray(fused(jnp.asarray(dtype_in), key))
+            ref = np.asarray(unfused(jnp.asarray(dtype_in), key))
+            if ref.dtype == np.uint8:  # the pipeline ends in float space
+                ref = ref.astype(np.float32) / 255.0
+            np.testing.assert_array_equal(a, ref)
+
+
 def test_dataset_degenerate_crop_guard_flag():
     # folder-backed datasets opt in at the class level; the flag is the
     # compile-time default for their random_crop specs
