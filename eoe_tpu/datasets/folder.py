@@ -61,6 +61,100 @@ def scan_image_folder(root: str, use_cache: bool = True
     return result
 
 
+def blob_path(folder: str, hw: Tuple[int, int]) -> str:
+    """Path of the preprocessed array-shard blob for a class-folder tree:
+    every image decoded+resized ONCE at prepare time into one memmap-able
+    uint8 .npy (SURVEY.md §7.3 'plan for preprocessed array shards'; the
+    analogous reference machinery is the shm cache server,
+    imagenet.py:197-223 + experiments/caching/cache_ds_to_ram.py)."""
+    return pt.join(pt.abspath(folder), f"_eoe_blob_{hw[0]}x{hw[1]}.npy")
+
+
+def build_blob(folder: str, hw: Tuple[int, int], channels: int = 3,
+               workers: int = 16, batch: int = 512) -> str:
+    """Decode the whole class-folder tree into the blob (+ .json sidecar with
+    the scan order, so loaders never re-scan or re-verify ordering). Uses the
+    native C++ batch decoder through FolderSource. Atomic: written to .tmp
+    and renamed."""
+    import json
+
+    paths, targets, classes = scan_image_folder(folder, use_cache=False)
+    if not paths:
+        raise FileNotFoundError(f"no images under {folder}")
+    out = blob_path(folder, hw)
+    src = FolderSource(paths, targets, (hw[0], hw[1], channels), cache_bytes=0,
+                       workers=workers)
+    arr = np.lib.format.open_memmap(out + ".tmp", mode="w+", dtype=np.uint8,
+                                    shape=(len(paths), hw[0], hw[1], channels))
+    for i in range(0, len(paths), batch):
+        idx = np.arange(i, min(i + batch, len(paths)))
+        arr[i:i + len(idx)] = src.gather(idx)
+    arr.flush()
+    del arr
+    root = pt.abspath(folder)
+    with open(out + ".json.tmp", "w") as f:
+        json.dump({"classes": classes,
+                   "targets": targets.tolist(),
+                   "paths": [pt.relpath(p, root) for p in paths]}, f)
+    os.replace(out + ".json.tmp", out + ".json")
+    os.replace(out + ".tmp", out)
+    return out
+
+
+def load_blob_source(folder: str, raw_shape: Tuple[int, int, int], logger=None
+                     ):
+    """(BlobSource, targets, classes) when a matching blob exists, else None.
+    RGB blobs serve grayscale raw shapes by channel slicing at gather."""
+    import json
+
+    bp = blob_path(folder, raw_shape[:2])
+    if not (pt.exists(bp) and pt.exists(bp + ".json")):
+        return None
+    with open(bp + ".json") as f:
+        meta = json.load(f)
+    arr = np.load(bp, mmap_mode="r")
+    if arr.shape[1:3] != tuple(raw_shape[:2]) or arr.shape[3] < raw_shape[2]:
+        return None
+    if len(arr) != len(meta["targets"]):
+        if logger is not None:
+            logger.warning(f"blob {bp} is inconsistent with its sidecar; ignoring")
+        return None
+    targets = np.asarray(meta["targets"], np.int64)
+    src = BlobSource(arr, targets, raw_shape, paths=meta["paths"])
+    return src, targets, meta["classes"]
+
+
+class BlobSource(DataSource):
+    """Memmap-backed preprocessed array shard: gathers are pure page-in reads
+    (no decode), so folder datasets with a prepared blob feed the chip at
+    memory speed and qualify for the device-resident training path."""
+
+    RESIDENT_BYTES = int(os.environ.get("EOE_TPU_BLOB_RESIDENT_MB", "4096")) << 20
+
+    def __init__(self, images, targets: np.ndarray, raw_shape: Tuple[int, int, int],
+                 paths=None):
+        self.images = images  # np.memmap (n, h, w, C>=c)
+        self.targets = np.asarray(targets, np.int64)
+        self._raw_shape = tuple(raw_shape)
+        self.paths = paths
+
+    def __len__(self):
+        return len(self.images)
+
+    @property
+    def raw_shape(self):
+        return self._raw_shape
+
+    def gather(self, indices):
+        out = self.images[np.asarray(indices)]
+        if out.shape[-1] != self._raw_shape[2]:
+            out = np.ascontiguousarray(out[..., :self._raw_shape[2]])
+        return out
+
+    def fits_resident(self, n_items: int) -> bool:
+        return int(n_items) * int(np.prod(self._raw_shape)) <= self.RESIDENT_BYTES
+
+
 def decode_image(path: str, hw: Tuple[int, int], gray: bool = False) -> np.ndarray:
     """Decode + RGB-convert + square-resize one image to uint8 (h, w, c)."""
     from PIL import Image

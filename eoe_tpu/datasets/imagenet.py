@@ -18,7 +18,21 @@ from typing import List
 import numpy as np
 
 from eoe_tpu.datasets.bases import ADDataset, Subset
-from eoe_tpu.datasets.folder import FolderSource, scan_image_folder
+from eoe_tpu.datasets.folder import (FolderSource, load_blob_source,
+                                     scan_image_folder)
+
+
+def folder_or_blob(folder: str, raw_shape, logger=None, cache_bytes=None):
+    """(source, targets, classes) for a class-folder tree: the preprocessed
+    array-shard blob when one matching ``raw_shape`` exists (built by
+    ``prepare_data --blob-resolution``; pure memmap reads, resident-eligible),
+    the decoding FolderSource otherwise."""
+    got = load_blob_source(folder, tuple(raw_shape), logger)
+    if got is not None:
+        return got
+    paths, targets, classes = scan_image_folder(folder)
+    kw = {} if cache_bytes is None else {"cache_bytes": cache_bytes}
+    return FolderSource(paths, targets, tuple(raw_shape), logger, **kw), targets, classes
 
 AD_CLASSES = ['acorn', 'airliner', 'ambulance', 'american_alligator', 'banjo', 'barn',
               'bikini', 'digital_clock', 'dragonfly', 'dumbbell', 'forklift', 'goblet',
@@ -70,12 +84,14 @@ class ADImageNet(ADDataset):
             train_conditional=train_conditional, test_conditional=test_conditional,
             ds_statistics=ds_statistics, rng=rng)
 
-        tr_paths, tr_targets, tr_classes = scan_image_folder(pt.join(ds_root, "train"))
-        te_paths, te_targets, te_classes = scan_image_folder(pt.join(ds_root, "val"))
+        tr_src, tr_targets, tr_classes = folder_or_blob(
+            pt.join(ds_root, "train"), self.raw_shape, logger)
+        te_src, te_targets, te_classes = folder_or_blob(
+            pt.join(ds_root, "val"), self.raw_shape, logger)
         tr_targets = _remap_targets(tr_targets, tr_classes, AD_CLASSES)
         te_targets = _remap_targets(te_targets, te_classes, AD_CLASSES)
-        self._train_source = FolderSource(tr_paths, tr_targets, self.raw_shape, logger)
-        self._test_source = FolderSource(te_paths, te_targets, self.raw_shape, logger)
+        tr_src.targets, te_src.targets = tr_targets, te_targets
+        self._train_source, self._test_source = tr_src, te_src
         self._train_set = self.create_subset(self._train_source)
         # test split keeps only AD-class samples (imagenet.py:82-88)
         self._test_set = Subset(self._test_source,
@@ -92,12 +108,22 @@ class ADImageNet21k(ADDataset):
                  raw_shape, logger=None, limit_samples=float("inf"),
                  train_conditional=(), test_conditional=(), ds_statistics=None, rng=None):
         ds_root = pt.join(root, self.base_folder)
-        paths, targets, classes = scan_image_folder(ds_root)
-        # exclude the ImageNet-1k synsets of the 30 AD classes (imagenet.py:378-387)
-        keep = ~np.isin(np.asarray([pt.basename(pt.dirname(p)) for p in paths]),
-                        list(IMAGENET1K_WNIDS))
-        paths = [p for p, k in zip(paths, keep) if k]
-        targets = targets[keep]
+        blob = load_blob_source(ds_root, tuple(raw_shape), logger)
+        if blob is not None:
+            source, targets, classes = blob
+            # exclude the ImageNet-1k synsets IN PLACE (target -2 never
+            # matches a class selection) so blob indices stay stable
+            targets = np.where(np.isin(np.asarray(classes)[targets],
+                                       list(IMAGENET1K_WNIDS)), -2, targets)
+            source.targets = targets
+        else:
+            paths, targets, classes = scan_image_folder(ds_root)
+            # exclude the ImageNet-1k synsets of the 30 AD classes
+            # (imagenet.py:378-387)
+            keep = ~np.isin(np.asarray([pt.basename(pt.dirname(p)) for p in paths]),
+                            list(IMAGENET1K_WNIDS))
+            paths = [p for p, k in zip(paths, keep) if k]
+            targets = targets[keep]
         n_classes = len(classes)
         super().__init__(
             root=ds_root, normal_classes=list(range(n_classes)) if not normal_classes
@@ -108,10 +134,13 @@ class ADImageNet21k(ADDataset):
             ds_statistics=ds_statistics, rng=rng)
         cache = self.img_cache_bytes if (isinstance(limit_samples, (list, np.ndarray))
                                          or limit_samples < float("inf")) else 0
-        self._train_source = FolderSource(paths, targets, self.raw_shape, logger,
-                                          cache_bytes=cache)
+        if blob is not None:
+            self._train_source = source
+        else:
+            self._train_source = FolderSource(paths, targets, self.raw_shape, logger,
+                                              cache_bytes=cache)
         self._train_set = self.create_subset(self._train_source)
-        if cache:
+        if cache and blob is None:
             self._train_source.warm_cache(self._train_set.indices[:10000])
         self._test_set = None  # OE only (imagenet.py:241: no test split)
         self.finalize()

@@ -253,11 +253,22 @@ def prepare_clip(ds: str, archives, root: str, args) -> str:
 def prepare_imagenet30(ds: str, archives, root: str, args) -> str:
     """ImageNet-30 (imagenet_ad/{train,val}): extract user archives into the
     layout, then validate it (the reference validates at load time via its
-    hand-picked 30-class list, imagenet.py:27-30,60-66)."""
+    hand-picked 30-class list, imagenet.py:27-30,60-66). With
+    --blob-resolution N, additionally decode both splits into preprocessed
+    array-shard blobs (datasets/folder.py build_blob) — the loaders prefer a
+    matching blob, turning the per-epoch JPEG decode into memmap reads so
+    the real-data input path can feed the chip's training rate."""
     dest = pt.join(root, "imagenet_ad")
     for a in archives:
         _extract(a, dest)
-    return check_imagenet30(root, args)
+    out = check_imagenet30(root, args)
+    if args.blob_resolution:
+        from eoe_tpu.datasets.folder import build_blob
+        hw = (args.blob_resolution, args.blob_resolution)
+        for split in ("train", "val"):
+            print(f"building imagenet30 {split} blob at {hw}...")
+            print("  ->", build_blob(pt.join(dest, split), hw))
+    return out
 
 
 def check_imagenet30(root: str, args) -> str:
@@ -283,6 +294,12 @@ def check_imagenet30(root: str, args) -> str:
         extra = len(present) - (30 - len(missing))
         print(f"imagenet30 {split}: 30/30 AD classes, {n} images"
               + (f" (+{extra} extra class folders, ignored by the loader)" if extra else ""))
+        if args.blob_resolution:
+            from eoe_tpu.datasets.folder import blob_path
+            bp = blob_path(sp, (args.blob_resolution, args.blob_resolution))
+            print(f"imagenet30 {split} blob "
+                  + (f"OK at {bp}" if pt.exists(bp) else
+                     f"MISSING at {bp} (run without --check-only to build it)"))
     return dest
 
 
@@ -323,7 +340,13 @@ def prepare_imagenet21ksubset(ds: str, archives, root: str, args) -> str:
     if args.build_subset:
         build_imagenet21k_subset(pt.dirname(root), per_class=args.build_subset,
                                  size=args.subset_size)
-    return check_imagenet21ksubset(root, args)
+    out = check_imagenet21ksubset(root, args)
+    if args.blob_resolution:
+        from eoe_tpu.datasets.folder import build_blob
+        hw = (args.blob_resolution, args.blob_resolution)
+        print(f"building imagenet21ksubset blob at {hw}...")
+        print("  ->", build_blob(dest, hw))
+    return out
 
 
 def check_imagenet21ksubset(root: str, args) -> str:

@@ -92,6 +92,67 @@ def test_imagenet21k_excludes_1k_synsets(tmp_path, rng):
     assert ds.test_set is None
 
 
+# ----------------------------------------------------------------- blobs
+
+
+def test_blob_build_and_load(tmp_path, rng):
+    """build_blob decodes the tree once into a memmap-able array shard whose
+    gathers are byte-identical to the decoding FolderSource (SURVEY §7.3
+    preprocessed array shards)."""
+    from eoe_tpu.datasets.folder import (BlobSource, build_blob,
+                                         load_blob_source)
+    for cls in ("a", "b"):
+        for i in range(3):
+            write_img(str(tmp_path / cls / f"{i}.jpg"), rng=rng)
+    out = build_blob(str(tmp_path), (16, 16))
+    assert pt.exists(out) and pt.exists(out + ".json")
+    got = load_blob_source(str(tmp_path), (16, 16, 3))
+    assert got is not None
+    src, targets, classes = got
+    assert isinstance(src, BlobSource) and classes == ["a", "b"]
+    paths, ftargets, _ = scan_image_folder(str(tmp_path), use_cache=False)
+    np.testing.assert_array_equal(targets, ftargets)
+    ref = FolderSource(paths, ftargets, (16, 16, 3)).gather(np.arange(6))
+    np.testing.assert_array_equal(src.gather(np.arange(6)), ref)
+    # mismatched resolution -> no blob (loaders fall back to decoding)
+    assert load_blob_source(str(tmp_path), (8, 8, 3)) is None
+    # blobs qualify for the device-resident training path
+    assert src.fits_resident(6)
+
+
+def test_imagenet30_prefers_blob(imagenet_tree, rng):
+    from eoe_tpu.datasets.folder import BlobSource, build_blob
+    root = imagenet_tree / "imagenet_ad"
+    for split in ("train", "val"):
+        build_blob(str(root / split), (32, 32))
+    ds = load_dataset("imagenet", str(imagenet_tree), [0], 0,
+                      [{"op": "resize", "size": 32}],
+                      [{"op": "resize", "size": 32}], None, rng=rng)
+    assert isinstance(ds.train_set.source, BlobSource)
+    assert isinstance(ds.test_set.source, BlobSource)
+    assert len(ds.train_set) == 3 and len(ds.test_set) == 8
+    x = ds.train_set.gather_all()
+    assert x.shape == (3, 32, 32, 3)
+    # same remap/filter semantics as the FolderSource run above
+    assert set(ds.test_set.targets.tolist()) == {0, 1, 2, 3}
+
+
+def test_imagenet21k_blob_excludes_1k_synsets(tmp_path, rng):
+    from eoe_tpu.datasets.folder import BlobSource, build_blob
+    from eoe_tpu.datasets.imagenet import ADImageNet21k
+    base = tmp_path / "imagenet22k" / "fall11_whole_extracted"
+    for wnid in ("n00000001", "n12267677"):  # the second is an excluded 1k synset
+        for i in range(3):
+            write_img(str(base / wnid / f"{i}.jpg"), rng=rng)
+    build_blob(str(base), (16, 16))
+    ds = ADImageNet21k(str(tmp_path), [], 1, [{"op": "resize", "size": 16}], [],
+                       (16, 16, 3), rng=rng)
+    assert isinstance(ds.train_set.source, BlobSource)
+    assert len(ds.train_set) == 3  # excluded synset's images not selectable
+    assert all(str(p).startswith("n00000001") for p in
+               np.asarray(ds.train_set.source.paths)[ds.train_set.indices])
+
+
 # ----------------------------------------------------------------- mvtec
 
 
