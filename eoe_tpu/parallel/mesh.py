@@ -94,11 +94,32 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host pytree of arrays on the mesh, batch-axis sharded."""
+    """Place a host pytree of arrays on the mesh, batch-axis sharded.
+
+    Multi-process (``jax.process_count() > 1``): every process holds the SAME
+    full batch on the host (dataset + index plans are deterministic), and each
+    uploads ONLY the rows belonging to its addressable devices
+    (``make_array_from_process_local_data``) — the host->device traffic per
+    process is 1/P of the global batch and no cross-host transfer happens."""
+    multi = jax.process_count() > 1
+
     def put(x):
         x = np.asarray(x)
-        return jax.device_put(x, batch_sharding(mesh, max(x.ndim, 1)))
+        sh = batch_sharding(mesh, max(x.ndim, 1))
+        if not multi:
+            return jax.device_put(x, sh)
+        lo, hi = _local_row_range(sh, x.shape)
+        return jax.make_array_from_process_local_data(sh, x[lo:hi], x.shape)
     return jax.tree_util.tree_map(put, batch)
+
+
+def _local_row_range(sh: NamedSharding, shape) -> Tuple[int, int]:
+    """The contiguous [lo, hi) slice of the global batch axis owned by this
+    process's addressable devices under a leading-axis sharding."""
+    idxs = sh.addressable_devices_indices_map(tuple(shape))
+    starts = [(s[0].start or 0) for s in idxs.values()]
+    stops = [(s[0].stop if s[0].stop is not None else shape[0]) for s in idxs.values()]
+    return min(starts), max(stops)
 
 
 # ---------------------------------------------------------------- TP rules

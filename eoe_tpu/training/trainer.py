@@ -311,6 +311,28 @@ class Trainer:
 
     # ------------------------------------------------------------- jitted steps
 
+    def _fetch(self, x):
+        """Device -> host for step/eval OUTPUTS. Under a multi-process mesh
+        the jitted programs return GLOBAL arrays whose shards live on other
+        processes' devices; np.asarray raises on those, so gather this
+        process's full view first (SURVEY.md §2.7 trainer-level multi-host:
+        every process runs the same SPMD program and sees identical epoch
+        metrics). Single-process arrays take the plain download path."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    def _put_batch(self, x):
+        """Host -> device for batch-shaped INPUTS. Multi-process meshes build
+        the global batch from process-local shards (each process uploads only
+        its own rows — mesh.shard_batch); otherwise a plain local upload that
+        the jitted step's sharding constraint distributes."""
+        if self.mesh is not None and jax.process_count() > 1 \
+                and not getattr(self, "_seed_axis_sharded", False):
+            return meshlib.shard_batch(self.mesh, x)
+        return jnp.asarray(x)
+
     def _constrain_batch(self, x):
         # under a seed-sharded vmapped grid the mesh's data axis is occupied
         # by the SEED axis; constraining the per-seed batch onto it too would
@@ -399,7 +421,8 @@ class Trainer:
 
         return step
 
-    def make_eval_step(self, ds):
+    def _eval_step_core(self, ds):
+        """Unjitted eval step; the seed-vmapped grid wraps it in vmap."""
         objective = self.objective
 
         def step(state: TrainState, x, labels, center, rt_stats):
@@ -413,7 +436,10 @@ class Trainer:
             feats = feats.astype(jnp.float32)
             return objective.score(feats, center, **self._loss_kwargs(x)).reshape(-1)
 
-        return jax.jit(step)
+        return step
+
+    def make_eval_step(self, ds):
+        return jax.jit(self._eval_step_core(ds))
 
     # ------------------------------------------------------------- metric prep
 
@@ -489,8 +515,19 @@ class Trainer:
         for c in run_classes:
             cstr = classes[c]
             vmapped_results = None
+            vmapped_scores = vmapped_host_states = None
             if vmap_seeds and train and run_seeds > 1 and load is None:
                 vmapped_results = self._try_vmap_seeds(c, cstr, run_seeds)
+            if vmapped_results is not None:
+                ds_v, stacked, _ = vmapped_results
+                if test:
+                    # ALL seeds' test scores in one vmapped dispatch set
+                    # (VERDICT r3 item 5; per-seed eval paid the dispatch +
+                    # download ladder n_seeds times)
+                    from eoe_tpu.training.vmapped_seeds import eval_scores_vmapped
+                    vmapped_scores = eval_scores_vmapped(self, ds_v, stacked, run_seeds)
+                # ONE packed download of the whole grid for snapshots
+                vmapped_host_states = jax.device_get(stacked)
             for it in range(run_seeds):
                 self.logger.print(f'------ start training cls {c} "{cstr}" (seed {it}) ------')
                 cur_load = None
@@ -501,11 +538,15 @@ class Trainer:
                 key = jax.random.fold_in(jax.random.fold_in(
                     jax.random.key(self.seed), c), it)
                 if vmapped_results is not None:
-                    ds, (state, roc) = vmapped_results[0], vmapped_results[1][it]
+                    ds, roc = vmapped_results[0], vmapped_results[2][it]
+                    # host slice of the already-downloaded grid: no transfer
+                    state = jax.tree_util.tree_map(lambda x: x[it],
+                                                   vmapped_host_states)
                     states[c].append(state)
                     train_cls_rocs[c].append(roc)
                     if test and state is not None:
-                        eroc, eprc = self.eval_cls(state, ds, c, cstr, it)
+                        eroc, eprc = self.eval_cls(state, ds, c, cstr, it,
+                                                   scores=vmapped_scores[it])
                     else:
                         eroc, eprc = None, None
                     eval_cls_rocs[c].append(eroc)
@@ -608,6 +649,11 @@ class Trainer:
         """Train all seeds of class c as one vmapped program when the dataset
         is device-resident; None -> caller falls back to the sequential path."""
         from eoe_tpu.training.vmapped_seeds import train_cls_vmapped_seeds
+        if jax.process_count() > 1:
+            # the vmapped grid's per-seed eval/snapshot downloads assume
+            # process-local arrays; multi-host runs take the (batch-sharded)
+            # sequential seed path instead
+            return None
         rng = np.random.default_rng([max(self.seed, 0), c, 0])
         ds = self._build_dataset(c, rng, None)
         train_set = ds.train_set
@@ -617,7 +663,7 @@ class Trainer:
         keys = [jax.random.fold_in(jax.random.fold_in(
             jax.random.key(self.seed), c), it) for it in range(run_seeds)]
         try:
-            results = train_cls_vmapped_seeds(self, ds, c, cstr, run_seeds, keys)
+            stacked, rocs = train_cls_vmapped_seeds(self, ds, c, cstr, run_seeds, keys)
         except NanGradientsError:
             self.logger.warning(
                 f'Gradients got NaN in the vmapped-seed run for class {c} "{cstr}"; '
@@ -626,7 +672,7 @@ class Trainer:
         sharded = " (seed axis sharded over the data mesh)" \
             if getattr(self, "_last_vmap_sharded", False) else ""
         self.logger.print(f"trained {run_seeds} seeds of cls {c} vmapped{sharded}")
-        return ds, results
+        return ds, stacked, rocs
 
     def _build_dataset(self, c: int, rng: np.random.Generator, cur_load: Optional[str]):
         if self.ds is not None:
@@ -773,7 +819,7 @@ class Trainer:
                         state, Xn, Ln, Xo, Lo, ep_plan,
                         starts_d[chunk0 + c], ekey, center, rt_stats)
                     outs.append(out)
-                outs = [np.asarray(o) for o in outs]  # one download per chunk
+                outs = [self._fetch(o) for o in outs]  # one download per chunk
                 arr = np.concatenate(outs, axis=0)    # (steps, 1 + 3L)
                 L = (arr.shape[1] - 1) // 3
                 ep_losses = arr[:, 0]
@@ -788,23 +834,23 @@ class Trainer:
                         xn = jnp.take(Xn_dev, pos, axis=0)
                         ln = jnp.take(Ln_dev, pos, axis=0)
                     else:
-                        xn = jnp.asarray(train_set.gather(idx_n[s]))
-                        ln = jnp.asarray(Ln_all[idx_n[s]])
+                        xn = self._put_batch(train_set.gather(idx_n[s]))
+                        ln = self._put_batch(Ln_all[idx_n[s]])
                     if has_oe:
                         if Xo_dev is not None:
                             pos = jnp.asarray(idx_o[s])
                             xo = jnp.take(Xo_dev, pos, axis=0)
                             lo = jnp.take(Lo_dev, pos, axis=0)
                         else:
-                            xo = jnp.asarray(oe_set.gather(idx_o[s]))
-                            lo = jnp.asarray(Lo_all[idx_o[s]])
+                            xo = self._put_batch(oe_set.gather(idx_o[s]))
+                            lo = self._put_batch(Lo_all[idx_o[s]])
                     else:
                         xo = lo = None
-                    state, out = step_fn(state, xn, ln, xo, lo, jnp.asarray(w[s]), ekey, center, rt_stats)
+                    state, out = step_fn(state, xn, ln, xo, lo, self._put_batch(w[s]), ekey, center, rt_stats)
                     outs.append(out)  # keep on device: a per-step np.asarray
                     # would block each step on the download round trip and
                     # destroy host/device pipelining
-                outs = [jax.tree_util.tree_map(np.asarray, o) for o in outs]
+                outs = [jax.tree_util.tree_map(self._fetch, o) for o in outs]
                 ep_losses = np.asarray([o[0] for o in outs])
                 ep_scores = np.concatenate([o[1] for o in outs])
                 ep_labels = np.concatenate([o[2] for o in outs])
@@ -874,16 +920,21 @@ class Trainer:
 
     # ------------------------------------------------------------- eval
 
-    def eval_cls(self, state: TrainState, ds, cls: int, clsstr: str, it: int
+    def eval_cls(self, state: TrainState, ds, cls: int, clsstr: str, it: int,
+                 scores: Optional[np.ndarray] = None
                  ) -> Tuple[Optional[M.ROC], Optional[M.PRC]]:
-        """Evaluate on the full test split (parity: ad_trainer.py:473-550)."""
+        """Evaluate on the full test split (parity: ad_trainer.py:473-550).
+        ``scores``: precomputed per-sample anomaly scores (the seed-vmapped
+        grid scores ALL seeds in one vmapped dispatch — vmapped_seeds.
+        eval_scores_vmapped — and hands each seed's row here so the logging/
+        metric contract stays identical); device work is skipped then."""
         test_set = ds.test_set
         normal_ds = ds.normal if isinstance(ds, CombinedDataset) else ds
         labels = normal_ds.binary_targets(test_set)
         n = len(test_set)
         B = self.batch_size
         eval_fn = self._cached(("eval", type(ds).__name__, tuple(ds.raw_shape), B),
-                               lambda: self.make_eval_step(ds))
+                               lambda: self.make_eval_step(ds)) if scores is None else None
         rt_stats = self._rt_stats(ds)
 
         if it == 0 and self.logger.active:
@@ -899,7 +950,9 @@ class Trainer:
         # device-side slices; scores concatenate on device -> one download.
         steps = -(-n // B)
         total = steps * B
-        if _is_resident(test_set):
+        if scores is not None:
+            scores = np.asarray(scores).reshape(-1)[:n]
+        elif _is_resident(test_set):
             cached = getattr(test_set, "_eval_device_cache", None)
             if cached is None or cached[0] != total:
                 X = np.asarray(test_set.gather_all())
@@ -929,10 +982,19 @@ class Trainer:
                     pad = B - len(pos)
                     x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
                     lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
-                outs.append(eval_fn(state, jnp.asarray(x), jnp.asarray(lb),
+                outs.append(eval_fn(state, self._put_batch(x), self._put_batch(lb),
                                     self.center, rt_stats))
-        scores = np.asarray(jnp.concatenate(outs))[:n] if len(outs) > 1 \
-            else np.asarray(outs[0])[:n]
+        if scores is not None:
+            pass  # precomputed by the seed-vmapped grid
+        elif len(outs) > 1 and isinstance(outs[0], jax.Array) \
+                and not outs[0].is_fully_addressable:
+            # multi-process mesh: device-side concat of global arrays is an
+            # eager op on non-addressable shards; gather per batch instead
+            scores = np.concatenate([self._fetch(o) for o in outs])[:n]
+        elif len(outs) > 1:
+            scores = np.asarray(jnp.concatenate(outs))[:n]
+        else:
+            scores = self._fetch(outs[0])[:n]
 
         keep = labels >= 0  # 'unlabeled' filtering (ad_trainer.py:517-521)
         if (labels == 0).sum() > 0 and (labels == 1).sum() > 0:

@@ -224,9 +224,8 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
     # ONE packed download for every seed's last-epoch outputs (per-seed
     # np.asarray paid the fixed per-transfer latency 3*n_seeds times)
     last_h = jax.device_get((last[1], last[2], last[3])) if last is not None else None
-    results = []
+    rocs = []
     for s in range(n_seeds):
-        state = jax.tree_util.tree_map(lambda x: x[s], states)
         roc = None
         if last is not None:
             scores = np.asarray(last_h[0][s]).reshape(-1)
@@ -238,6 +237,76 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
                 raise NanGradientsError()
             if (labels[keep] == 1).sum() > 0:
                 roc = M.roc_curve(labels[keep], scores[keep])
-        results.append((state, roc))
+        rocs.append(roc)
     _tlog("results download + rocs", _t)
-    return results
+    # states stay STACKED on device: eval vmaps over the seed axis
+    # (eval_scores_vmapped) and the snapshot fetch is one packed device_get
+    # of the whole grid — per-seed slicing/downloads cost 3*n_seeds fixed
+    # transfer latencies on tunneled chips (PARITY.md:156-158)
+    return states, rocs
+
+
+def eval_scores_vmapped(trainer, ds, states, n_seeds: int) -> np.ndarray:
+    """Anomaly scores of ALL seeds' test splits as ONE vmapped dispatch set:
+    (n_seeds, n_test) in one device-side concat + one download. Eval is
+    scoring-only (no BN mutation), so it vmaps trivially over the stacked
+    seed states; batches are shared across seeds (same test split)."""
+    combined = isinstance(ds, CombinedDataset)
+    normal_ds = ds.normal if combined else ds
+    test_set = ds.test_set
+    labels = normal_ds.binary_targets(test_set)
+    n = len(test_set)
+    B = trainer.batch_size
+    steps = -(-n // B)
+    total = steps * B
+    shard_seeds = getattr(trainer, "_last_vmap_sharded", False)
+    # the flag gates _constrain_batch at TRACE time; the cache key carries it
+    # so equal-aval calls never reuse a trace made under the other value
+    trainer._seed_axis_sharded = shard_seeds
+    try:
+        eval_fn = trainer._cached(
+            ("vmap_seeds_eval", type(ds).__name__, tuple(ds.raw_shape), B,
+             n_seeds, shard_seeds),
+            lambda: jax.jit(jax.vmap(trainer._eval_step_core(ds),
+                                     in_axes=(0, None, None, None, None))))
+        rt_stats = trainer._rt_stats(ds)
+        center = trainer.center
+        from eoe_tpu.training.trainer import _is_resident
+        if _is_resident(test_set):
+            # shared device-resident test images (same caching contract as the
+            # sequential eval_cls, so mixed vmapped/sequential runs reuse it)
+            cached = getattr(test_set, "_eval_device_cache", None)
+            if cached is None or cached[0] != total:
+                X = np.asarray(test_set.gather_all())
+                if total > n:
+                    X = np.concatenate([X, np.repeat(X[-1:], total - n, axis=0)])
+                test_set._eval_device_cache = (total, jnp.asarray(X))
+                cached = test_set._eval_device_cache
+            X_d = cached[1]
+            lb = labels if total == n else np.concatenate(
+                [labels, np.repeat(labels[-1:], total - n)])
+            lb_d = jnp.asarray(lb)
+            if trainer.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec
+                repl = NamedSharding(trainer.mesh, PartitionSpec())
+                X_d, lb_d = jax.device_put(X_d, repl), jax.device_put(lb_d, repl)
+            outs = [eval_fn(states, jax.lax.slice_in_dim(X_d, i, i + B),
+                            jax.lax.slice_in_dim(lb_d, i, i + B), center, rt_stats)
+                    for i in range(0, total, B)]
+        else:
+            outs = []
+            for i in range(0, n, B):
+                pos = np.arange(i, min(i + B, n))
+                x = np.asarray(test_set.gather(pos))
+                lb = labels[pos]
+                if len(pos) < B:
+                    pad = B - len(pos)
+                    x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                    lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
+                outs.append(eval_fn(states, jnp.asarray(x), jnp.asarray(lb),
+                                    center, rt_stats))
+        scores = np.asarray(jnp.concatenate(outs, axis=1)
+                            if len(outs) > 1 else outs[0])
+    finally:
+        trainer._seed_axis_sharded = False
+    return scores[:, :n]

@@ -5,8 +5,11 @@ batch-sharded CNN32+HSC gradient step whose result must match the
 single-process full-batch computation exactly (XLA inserts the cross-process
 all-reduce over gloo; BatchNorm statistics span the global batch).
 
-Invoked as:  python multihost_worker.py <process_id> <coordinator_port>
-Prints PARITY-OK on success."""
+Invoked as:  python multihost_worker.py <process_id> <coordinator_port> [mode]
+where mode is "grad" (default: one-step gradient parity) or "trainer"
+(a REAL ``Trainer.run`` over the global mesh: each process feeds its local
+batch shards and the run's results.json must match the single-process run).
+Prints PARITY-OK (grad) / TRAINER-OK {json} (trainer) on success."""
 
 import os
 import sys
@@ -14,6 +17,7 @@ import sys
 
 def main():
     pid, port = int(sys.argv[1]), sys.argv[2]
+    mode = sys.argv[3] if len(sys.argv) > 3 else "grad"
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     # oneDNN picks different matmul kernels for the 8-row local vs 16-row
@@ -34,6 +38,9 @@ def main():
     assert jax.process_count() == 2, jax.process_count()
     assert jax.device_count() == 8, jax.device_count()
     assert len(jax.local_devices()) == 4
+
+    if mode == "trainer":
+        return run_trainer(pid)
 
     import jax.numpy as jnp
     import numpy as np
@@ -82,6 +89,45 @@ def main():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=1e-4, err_msg=str(path))
     print(f"{pid} PARITY-OK", flush=True)
+
+
+def run_trainer(pid: int):
+    """A REAL ``Trainer.run`` under 2 processes over the global 8-device mesh
+    (SURVEY.md §2.7/§5.8: trainer-level multi-host): fake CIFAR data (identical
+    on both processes — the datasets are deterministic), one class, one seed.
+    Each process executes the same SPMD program; the host feed builds GLOBAL
+    arrays (each process uploads only its addressable shards). Prints
+    TRAINER-OK {json} with the final mean AUC + per-epoch losses, which the
+    pytest parent compares against its own single-process run."""
+    import json
+
+    import jax
+
+    from eoe_tpu.parallel import mesh as meshlib
+
+    os.environ["EOE_TPU_FAKE_DATA"] = "1"
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=8, model=1))
+
+    from eoe_tpu.models.cnn import CNN32
+    from eoe_tpu.training import TRAINER
+    from eoe_tpu.utils.logger import Logger
+
+    logdir = os.environ["EOE_TPU_TRAINER_LOGDIR"]
+    logger = Logger(logdir, comment=f"mh_p{pid}")
+    trainer = TRAINER["hsc"](
+        model=CNN32(rep_dim=64),
+        train_specs=[{"op": "random_hflip"}, "normalize"],
+        test_specs=["normalize"],
+        dataset="cifar10", oe_dataset="cifar100",
+        datapath=os.environ["EOE_TPU_TRAINER_DATAPATH"],
+        logger=logger, epochs=2, lr=1e-3, wdk=0.0, milestones=[1],
+        batch_size=32, mesh=mesh)
+    _, results = trainer.run(run_classes=[0], run_seeds=1)
+    losses = [round(v, 6) for _, v in
+              logger._scalars.get("training_cls0_seed0_loss", [])]
+    print("TRAINER-OK " + json.dumps({
+        "pid": pid, "mean_auc": results["mean_auc"], "losses": losses,
+        "logdir": logger.dir}), flush=True)
 
 
 if __name__ == "__main__":
