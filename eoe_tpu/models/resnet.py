@@ -13,6 +13,7 @@ torchvision-checkpoint converter.
 """
 
 import math
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
@@ -20,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from eoe_tpu.models.cbam import CBAM
+from eoe_tpu.ops.stem import fused_stem_train
 
 
 def kaiming_normal_fan_out():
@@ -63,6 +65,31 @@ class BasicBlock(nn.Module):
         return nn.relu(out + residual)
 
 
+class _StemKernel(nn.Module):
+    """Parameter-only twin of the stem ``nn.Conv`` (same path: conv1/kernel)."""
+
+    in_features: int = 3
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", kaiming_normal_fan_out(),
+                          (7, 7, self.in_features, 64))
+
+
+class _StemBN(nn.Module):
+    """Parameter/variable-only twin of the stem ``nn.BatchNorm`` (bn1/...)."""
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (64,))
+        bias = self.param("bias", nn.initializers.zeros, (64,))
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((64,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((64,), jnp.float32))
+        return scale, bias, ra_mean, ra_var
+
+
 class WideResNet(nn.Module):
     rep_dim: int = 256
     clf: bool = False
@@ -72,15 +99,30 @@ class WideResNet(nn.Module):
     # with the f32 params, i.e. full f32 compute. The Trainer clones the
     # model with its --compute-dtype when this is left None.
     dtype: Any = None
+    # train-mode stem with the grid-stats fused backward (ops/stem.py):
+    # identical forward, BN-backward reductions collapsed onto the pooled
+    # grid. Killable via EOE_TPU_FUSED_STEM=0 without touching configs.
+    fused_stem: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # NHWC input of any spatial size (the reference targets 224x224 but the
         # custom entry points feed other crops); pooling below is global
-        x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    kernel_init=kaiming_normal_fan_out(), dtype=self.dtype, name="conv1")(x)
-        x = nn.relu(_bn("bn1", self.dtype)(x, use_running_average=not train))
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        use_fused = (self.fused_stem and train
+                     and os.environ.get("EOE_TPU_FUSED_STEM", "1") != "0")
+        if use_fused:
+            w = _StemKernel(x.shape[-1], name="conv1")()
+            scale, bias, ra_mean, ra_var = _StemBN(name="bn1")()
+            dt = self.dtype or jnp.promote_types(x.dtype, jnp.float32)
+            x, mu, var = fused_stem_train(w, scale, bias, x.astype(dt))
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mu
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        else:
+            x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
+                        kernel_init=kaiming_normal_fan_out(), dtype=self.dtype, name="conv1")(x)
+            x = nn.relu(_bn("bn1", self.dtype)(x, use_running_average=not train))
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
         inplanes = 64
         for stage, (planes, blocks) in enumerate(zip((64, 128, 256, 512), self.layers), start=1):
