@@ -21,6 +21,7 @@ IDENTICAL operator semantics replaces it (SURVEY.md §7.1 sanctions this):
 """
 
 import copy
+import os
 import os.path as pt
 from typing import List, Optional, Sequence, Tuple
 
@@ -147,7 +148,7 @@ def ensure_valid_indices(oeds):
 def evaluate_individual(individual, trainer, args, toolbox) -> float:
     """Full training run with the individual as the only OE; fitness = mean
     test AUC (evolve/__init__.py:55-78)."""
-    if trainer.logger.active and len(__import__("os").listdir(trainer.logger.dir)) > 5:
+    if trainer.logger.active and len(os.listdir(trainer.logger.dir)) > 5:
         trainer.logger.active = False  # avoid log spam after the first run
     trainer.oe_limit_samples = list(individual)
     if trainer.ds is not None:

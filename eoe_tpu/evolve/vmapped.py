@@ -46,6 +46,12 @@ class VmappedEvaluator:
         # keyed only on avals/shardings would silently reuse a trace made
         # under the other flag value (advisor finding, round 3)
         self._fns = {}
+        # per-iteration centers: DSVDD's center depends on the iteration's
+        # init weights (the sequential path recomputes per seed,
+        # trainer.py train_cls), so one center per `it`, NOT one per
+        # evaluator. Keyed by it — init_state(key(it)) is deterministic, so
+        # the cache stays valid across generations.
+        self._centers = {}
 
     # ------------------------------------------------------------- build
 
@@ -215,6 +221,18 @@ class VmappedEvaluator:
                 n_keys = trainer.epochs * sampler.steps
                 keys = jax.random.split(jax.random.fold_in(key, 2), max(n_keys, 1))[:n_keys]
 
+                # init + center once per iteration (chunk-independent): all
+                # candidates of an iteration share the init weights, and the
+                # DSVDD center is a function of those weights
+                base = trainer.init_state(key, ds, max(sampler.steps, 1))
+                center = None
+                if trainer.objective.needs_center:
+                    if it not in self._centers:
+                        from eoe_tpu.datasets import str_labels
+                        clsstr = str_labels(trainer.dsstr)[self.args.classes[0]]
+                        self._centers[it] = trainer.prepare_metric(clsstr, ds, base, it)
+                    center = trainer.center = self._centers[it]
+
                 for start in range(0, len(individuals), self.chunk):
                     chunk = individuals[start:start + self.chunk]
                     k = len(chunk)
@@ -230,13 +248,6 @@ class VmappedEvaluator:
                     Xo = jnp.asarray(np.stack([oe_images(ind) for ind in chunk]))
                     if chunk_sh is not None:
                         Xo = jax.device_put(Xo, chunk_sh)
-                    base = trainer.init_state(key, ds, max(sampler.steps, 1))
-                    if trainer.center is None and trainer.objective.needs_center:
-                        # DSVDD center / CLIP prompt features — identical for all
-                        # candidates (same init weights + shared normal data)
-                        from eoe_tpu.datasets import str_labels
-                        clsstr = str_labels(trainer.dsstr)[self.args.classes[0]]
-                        trainer.center = trainer.prepare_metric(clsstr, ds, base, it)
                     states = jax.tree_util.tree_map(
                         lambda x: jnp.broadcast_to(x, (k, *x.shape)), base)
                     if chunk_sh is not None:
@@ -244,13 +255,13 @@ class VmappedEvaluator:
                     if trainer.epochs > 0:
                         states, _ = train_fn(
                             states, Xn, Ln, Xo, idx_n, idx_o, wj,
-                            keys, trainer.center, rt_stats)
+                            keys, center, rt_stats)
                     # vmapped eval over shared device-resident test batches;
                     # scores concatenate on device -> one download per chunk
                     outs = [eval_fn(states,
                                           jax.lax.slice_in_dim(Xt_d, i, i + B),
                                           jax.lax.slice_in_dim(lbt_d, i, i + B),
-                                          trainer.center, rt_stats)
+                                          center, rt_stats)
                             for i in range(0, steps_t * B, B)]
                     scores = np.asarray(jnp.concatenate(outs, axis=1)
                                         if len(outs) > 1 else outs[0])[:, :nt]

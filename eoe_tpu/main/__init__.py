@@ -555,7 +555,10 @@ def load_evolve(path: Optional[str], tree: Tree, history: dict, pop: list, gen: 
     inner = [d for d in os.listdir(path)
              if pt.isdir(pt.join(path, d)) and d.startswith("log_")]
     if inner:
-        load_setup(pt.join(path, inner[0]), args, check_train_specs, check_test_specs)
+        # a ---CNTD continuation creates a SECOND inner run dir; resume from
+        # the most-continued (and then newest) one, not listdir order
+        inner.sort(key=lambda d: (d.count("---CNTD"), d))
+        load_setup(pt.join(path, inner[-1]), args, check_train_specs, check_test_specs)
 
     tree.load(pt.join(path, "evolution.json"))
     nodes = tree.bfs()[1:]

@@ -63,6 +63,86 @@ DS_ARCHIVE_MD5: Dict[Tuple[str, str], str] = {
 
 TINYIMAGES_BYTES = 79_302_017 * 3072  # tiny_images.bin record count x 3072B
 
+# --download sources: the reference's own download endpoints (torchvision
+# dataset URLs; MVTec mvtec.py:98 with its https->http retry :323-333; CUB
+# cub.py:71; OpenAI CLIP checkpoints clip.py:18-23). Each entry is the list
+# of files a dataset needs. ImageNet-30/21k and 80MTI have no public
+# endpoint (login-walled / withdrawn) and stay archive-only.
+DOWNLOAD_URLS: Dict[str, Tuple[str, ...]] = {
+    "cifar10": ("https://www.cs.toronto.edu/~kriz/cifar-10-python.tar.gz",),
+    "cifar100": ("https://www.cs.toronto.edu/~kriz/cifar-100-python.tar.gz",),
+    "mnist": tuple(
+        f"https://ossci-datasets.s3.amazonaws.com/mnist/{fn}" for fn in (
+            "train-images-idx3-ubyte.gz", "train-labels-idx1-ubyte.gz",
+            "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz")),
+    "fmnist": tuple(
+        "http://fashion-mnist.s3-website.eu-central-1.amazonaws.com/" + fn
+        for fn in ("train-images-idx3-ubyte.gz", "train-labels-idx1-ubyte.gz",
+                   "t10k-images-idx3-ubyte.gz", "t10k-labels-idx1-ubyte.gz")),
+    "emnist": ("https://biometrics.nist.gov/cs_links/EMNIST/gzip.zip",),
+    "dtd": ("https://www.robots.ox.ac.uk/~vgg/data/dtd/download/"
+            "dtd-r1.0.1.tar.gz",),
+    "cub": ("https://data.caltech.edu/records/65de6-vp158/files/"
+            "CUB_200_2011.tgz",),
+    "mvtec": ("https://www.mydrive.ch/shares/38536/"
+              "3830184030e49fe74747669442f0f282/download/420938113-1629952094/"
+              "mvtec_anomaly_detection.tar.xz",),
+    # ViT-B/32 is the acceptance checkpoint; other CLIP variants can still be
+    # supplied as archives
+    "clip": ("https://openaipublic.azureedge.net/clip/models/"
+             "40d365715913c9da98579312b702a82c18be219cc2a73407c4526f58eba950af/"
+             "ViT-B-32.pt",),
+}
+
+
+def fetch_url(url: str, dest: str, timeout: float = 30.0) -> str:
+    """Stream one URL to dest (reference download_url shape). MVTec's server
+    rejects https on some networks: retry http like mvtec.py:323-333."""
+    import urllib.request
+
+    os.makedirs(pt.dirname(dest) or ".", exist_ok=True)
+    req = urllib.request.Request(url, headers={"User-Agent": "eoe-tpu"})
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r, \
+                open(dest, "wb") as f:
+            shutil.copyfileobj(r, f)
+    except Exception:
+        if url.startswith("https://www.mydrive.ch"):
+            return fetch_url("http://" + url[len("https://"):], dest, timeout)
+        raise
+    return dest
+
+
+def download_archives(dataset: str, download_dir: str,
+                      fetch=None) -> Optional[list]:
+    """Fetch the dataset's published archives into download_dir; returns the
+    local paths, or None (with a message) when the environment has no egress
+    or the dataset has no public endpoint. Already-present files with a
+    matching digest are not re-fetched."""
+    fetch = fetch or fetch_url  # late-bound so tests can monkeypatch fetch_url
+    urls = DOWNLOAD_URLS.get(dataset)
+    if not urls:
+        print(f"{dataset}: no public download endpoint "
+              f"(supply the archives manually)")
+        return None
+    out = []
+    for url in urls:
+        dest = pt.join(download_dir, pt.basename(url))
+        known = _known_digest(dataset, pt.basename(dest))
+        if pt.isfile(dest) and known and file_digest(dest, known[0]) == known[1]:
+            print(f"already downloaded: {dest}")
+            out.append(dest)
+            continue
+        try:
+            print(f"downloading {url} ...")
+            fetch(url, dest)
+        except Exception as e:
+            print(f"download failed ({type(e).__name__}: {e}) — no egress? "
+                  f"Supply the archives manually and re-run without --download.")
+            return None
+        out.append(dest)
+    return out
+
 
 def file_digest(path: str, algo: str = "md5", chunk: int = 1 << 20) -> str:
     h = hashlib.new(algo)
@@ -543,6 +623,15 @@ def main(argv=None) -> str:
                         "(normal/ folder)")
     p.add_argument("--eval-only", action="store_true",
                    help="custom: validate a split-less inference root")
+    p.add_argument("--download", action="store_true",
+                   help="fetch the dataset's published archives (the "
+                        "reference's own endpoints: torchvision URLs, MVTec "
+                        "tar.xz w/ https->http retry, OpenAI CLIP ViT-B/32) "
+                        "instead of supplying them; digests are still "
+                        "verified. Skips cleanly when there is no egress.")
+    p.add_argument("--download-dir", type=str, default=None,
+                   help="where downloaded archives land "
+                        "(default <datapath>/downloads)")
     args = p.parse_args(argv)
 
     datapath = args.datapath or default_datapath()
@@ -553,8 +642,16 @@ def main(argv=None) -> str:
         out = CHECKERS[args.dataset](root, args)
         print(f"{args.dataset} layout OK at {out}")
         return out
+    if args.download:
+        if args.archives:
+            p.error("--download and explicit archives are mutually exclusive")
+        fetched = download_archives(
+            args.dataset, args.download_dir or pt.join(datapath, "downloads"))
+        if fetched is None:
+            return None  # clean skip: no egress / no endpoint
+        args.archives = fetched
     if not args.archives and args.dataset not in ("imagenet21ksubset", "custom"):
-        p.error("archives required (or pass --check-only)")
+        p.error("archives required (or pass --check-only / --download)")
     for a in args.archives:
         if not pt.isfile(a):
             raise FileNotFoundError(a)

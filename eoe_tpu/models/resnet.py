@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from eoe_tpu.models.cbam import CBAM
-from eoe_tpu.ops.stem import fused_stem_train
+from eoe_tpu.ops.stem import FUSED_STEM_AVAILABLE, fused_stem_train
 
 
 def kaiming_normal_fan_out():
@@ -101,14 +101,16 @@ class WideResNet(nn.Module):
     dtype: Any = None
     # train-mode stem with the grid-stats fused backward (ops/stem.py):
     # identical forward, BN-backward reductions collapsed onto the pooled
-    # grid. Killable via EOE_TPU_FUSED_STEM=0 without touching configs.
+    # grid, exact input gradients (DCE'd when images are leaves). Killable
+    # via EOE_TPU_FUSED_STEM=0 without touching configs; auto-disabled if
+    # the select-and-scatter primitive moves (stem.FUSED_STEM_AVAILABLE).
     fused_stem: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # NHWC input of any spatial size (the reference targets 224x224 but the
         # custom entry points feed other crops); pooling below is global
-        use_fused = (self.fused_stem and train
+        use_fused = (self.fused_stem and train and FUSED_STEM_AVAILABLE
                      and os.environ.get("EOE_TPU_FUSED_STEM", "1") != "0")
         if use_fused:
             w = _StemKernel(x.shape[-1], name="conv1")()

@@ -26,10 +26,14 @@ dtype, and the returned (mu, var) feed the caller's running-stats update.
 The backward ignores the (mu, var) cotangents — exactly like flax, where
 running-statistic updates are not differentiated.
 
-The input cotangent is returned as zeros: the stem consumes the (augmented)
-image batch, which is never differentiated. Reference behavior being
-accelerated: /root/reference/src/eoe/models/resnet.py:68-79 (conv1/bn1/
-maxpool of the hendrycks ss-ood WideResNet).
+The input cotangent is the exact transpose-conv of the fused dxc chain. In
+the training path the image batch is a non-differentiated leaf, so that
+cotangent is unused and XLA dead-code-eliminates the transpose conv — it
+costs nothing there — while consumers that DO differentiate the input
+(saliency maps, adversarial perturbation, grad-through-augmentation) get
+the true gradient. Reference behavior being accelerated:
+/root/reference/src/eoe/models/resnet.py:68-79 (conv1/bn1/maxpool of the
+hendrycks ss-ood WideResNet).
 """
 
 import jax
@@ -41,6 +45,12 @@ try:  # the primitive behind reduce_window_max's transpose rule
         _select_and_scatter_add as _sas_add)
 except ImportError:  # pragma: no cover - private-API drift
     _sas_add = None
+
+# models/resnet.py checks this before routing through the fused stem: the
+# jax.vjp(_maxpool3s2, ...) fallback fails to linearize under the trainer's
+# jitted epoch scan, so a JAX upgrade that moves the private symbol must
+# degrade to the unfused stem, not crash at train time.
+FUSED_STEM_AVAILABLE = _sas_add is not None
 
 EPS = 1e-5
 _MOMENTUM = 0.9
@@ -94,9 +104,13 @@ def _bwd(res, cts):
 
     # BN-backward reductions on the pooled grid (see module docstring).
     # gamma crossing exactly 0 would make (M-beta)/gamma inf; nudge it off
-    # zero — the downstream product is finite in the limit.
+    # zero, preserving its sign so the quotient doesn't flip for tiny
+    # negative gamma. When |gamma| underflows the threshold, dgamma is an
+    # APPROXIMATION (xhat at the argmax is unrecoverable from M alone) —
+    # unreachable in practice with the scale init of 1.0.
     gamma_safe = jnp.where(jnp.abs(gamma) < 1e-12,
-                           jnp.float32(1e-12), gamma)
+                           jnp.where(gamma < 0, jnp.float32(-1e-12),
+                                     jnp.float32(1e-12)), gamma)
     gm = g.astype(jnp.float32) * (M > 0)
     sum_dy = gm.sum(axis=(0, 1, 2))
     xhat_max = (M.astype(jnp.float32) - beta) / gamma_safe
@@ -126,9 +140,16 @@ def _bwd(res, cts):
                           jnp.zeros(w.shape, x.dtype))
     dw = conv_vjp(dxc)[0].astype(w.dtype)
 
+    # dx: exact transpose-conv of dxc through the 7x7 s2 kernel. When the
+    # caller never differentiates the image batch (the training path —
+    # reference resnet.py:68-79 likewise treats images as leaves) this
+    # cotangent is unused and XLA DCEs the conv; when input gradients DO
+    # flow (saliency, adversarial perturbation) they are correct.
+    _, conv_x_vjp = jax.vjp(lambda xi: _conv7s2(xi, w.astype(x.dtype)), x)
+    dx = conv_x_vjp(dxc)[0].astype(x.dtype)
+
     # dgamma = sum(dy*xhat), dbeta = sum(dy): the same grid scalars
-    return dw, sum_dyx.astype(gamma.dtype), sum_dy.astype(beta.dtype), \
-        jnp.zeros_like(x)
+    return dw, sum_dyx.astype(gamma.dtype), sum_dy.astype(beta.dtype), dx
 
 
 fused_stem_train.defvjp(_fwd, _bwd)

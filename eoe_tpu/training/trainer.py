@@ -361,6 +361,44 @@ class Trainer:
         x = cond(x, labels, k1, rt_stats)
         return pipe(x, k2, rt_stats)
 
+    def _transformed_preview(self, ds, percls: int, train: bool) -> np.ndarray:
+        """Pipeline-output preview grid: what the model actually SEES — raw
+        images through the same (conditional ->) pipelines the jitted step
+        applies, normal/OE parts through their own pipelines (reference
+        bases.py:246-291 previews loader output after all transforms).
+        Rows are min-max normalized for display (outputs are mean/std
+        normalized floats)."""
+        combined = isinstance(ds, CombinedDataset)
+        normal_ds = ds.normal if combined else ds
+        rt = self._rt_stats(ds)
+        rows = []
+        if train:
+            parts = [("normal", ds.train_set, self.nominal_label)]
+            if combined and len(ds.oe.train_set) > 0:
+                parts.append(("oe", ds.oe.train_set, ds.anomalous_label))
+            # group order matches n_normal_anomalous()'s sorted binary keys
+            parts.sort(key=lambda p: p[2])
+            for ki, (part, subset, label) in enumerate(parts):
+                pos = np.arange(min(percls, len(subset)))
+                x = np.asarray(subset.gather(pos)).astype(np.float32) / 255.0
+                lbl = jnp.full((len(pos),), label, jnp.int32)
+                rows.append(self._preprocess(ds, jnp.asarray(x), lbl,
+                                             jax.random.key(ki), True, part, rt))
+        else:
+            subset = ds.test_set
+            binary = normal_ds.binary_targets(subset)
+            for c in sorted(set(binary.tolist())):
+                pos = np.argwhere(binary == c).flatten()[:percls]
+                x = np.asarray(subset.gather(pos)).astype(np.float32) / 255.0
+                lbl = jnp.full((len(pos),), c, jnp.int32)
+                rows.append(self._preprocess(ds, jnp.asarray(x), lbl,
+                                             None, False, "normal", rt))
+        n = min(r.shape[0] for r in rows)
+        out = np.concatenate([np.asarray(r[:n], np.float32) for r in rows])
+        lo = out.min(axis=(1, 2, 3), keepdims=True)
+        hi = out.max(axis=(1, 2, 3), keepdims=True)
+        return (out - lo) / np.maximum(hi - lo, 1e-9)
+
     def _rt_stats(self, ds) -> Optional[Tuple[jax.Array, jax.Array]]:
         stats = (ds.normal if isinstance(ds, CombinedDataset) else ds).stats
         if stats is None:
@@ -721,7 +759,7 @@ class Trainer:
         tx = self.make_optimizer(steps_per_epoch)
 
         if it == 0 and self.logger.active:
-            prev = ds.normal.preview(40) if combined else ds.preview(40)
+            prev = self._transformed_preview(ds, 40, train=True)
             stats_counts = ds.n_normal_anomalous()
             self.logger.logimg(f"training_cls{cls}-{clsstr}_preview", prev,
                                rowheaders=[str(stats_counts[k])
@@ -867,7 +905,13 @@ class Trainer:
             ep_scores, ep_labels = ep_scores[keep], ep_labels[keep]
             if np.isnan(ep_scores).sum() > 0:
                 raise NanGradientsError()
+            # per-epoch anomaly-score histograms (ad_trainer.py:458-465)
+            self.logger.hist(f"Training: CLS{cls} SEED{it} anomaly_scores normal",
+                             ep_scores[ep_labels == 0], ep)
             if (ep_labels == 1).sum() > 0:
+                self.logger.hist(
+                    f"Training: CLS{cls} SEED{it} anomaly_scores anomalous",
+                    ep_scores[ep_labels == 1], ep)
                 cls_roc = M.roc_curve(ep_labels, ep_scores)
                 self.logger.add_scalar(f"Training: CLS{cls} SEED{it} AUC", cls_roc.auc * 100, ep)
             self.logger.add_scalar(f"training_cls{cls}_seed{it}_loss", float(ep_losses.mean()), ep)
@@ -940,7 +984,7 @@ class Trainer:
         if it == 0 and self.logger.active:
             stats_counts = ds.n_normal_anomalous(False)
             self.logger.logimg(f"eval_cls{cls}-{clsstr}_preview",
-                               normal_ds.preview(20, train=False),
+                               self._transformed_preview(ds, 20, train=False),
                                rowheaders=[f"{k}: {v}" for k, v in
                                            sorted(stats_counts.items())])
 
@@ -997,6 +1041,11 @@ class Trainer:
             scores = self._fetch(outs[0])[:n]
 
         keep = labels >= 0  # 'unlabeled' filtering (ad_trainer.py:517-521)
+        # per-class eval-score histograms (ad_trainer.py:541-544)
+        for lbl, tag in ((0, "nominal"), (1, "anomalous")):
+            if (labels == lbl).sum() > 0:
+                self.logger.hist(f"Eval: (SD{it}) anomaly_scores cls{cls} {tag}",
+                                 scores[labels == lbl], 0)
         if (labels == 0).sum() > 0 and (labels == 1).sum() > 0:
             cls_roc = M.roc_curve(labels[keep], scores[keep])
             cls_prc = M.precision_recall_curve(labels[keep], scores[keep])
@@ -1027,7 +1076,15 @@ class Trainer:
         # converts leaf-by-leaf, and per-leaf downloads through the tunnel
         # (fixed ~30ms each) measured 1.6s PER SNAPSHOT for CNN32 (12.9s of a
         # 26s eight-seed grid run)
-        state = jax.device_get(state)
+        leaves = jax.tree_util.tree_leaves(state)
+        if any(isinstance(l, jax.Array) and not l.is_fully_addressable
+               for l in leaves):
+            # multi-process TP mesh: params are sharded across processes'
+            # devices; all-gather each leaf to its global value so every
+            # process writes a complete (mesh-independent) snapshot
+            state = jax.tree_util.tree_map(self._fetch, state)
+        else:
+            state = jax.device_get(state)
         payload = {
             "params": serialization.to_state_dict(state.params),
             "batch_stats": serialization.to_state_dict(state.batch_stats),
@@ -1075,6 +1132,19 @@ class Trainer:
         if payload.get("opt_state"):
             opt_state = serialization.from_bytes(state.opt_state, payload["opt_state"])
         epoch = int(payload.get("epoch", 0))
+        if self.mesh is not None:
+            # restored leaves are host numpy: re-place them onto the
+            # initialized state's shardings so TP-sharded params stay sharded
+            # (a default placement would replicate them and, multi-process,
+            # mismatch the compiled program's input shardings)
+            def replace_leaf(new, ref):
+                if isinstance(ref, jax.Array) and ref.sharding is not None:
+                    return jax.device_put(new, ref.sharding)
+                return new
+            params = jax.tree_util.tree_map(replace_leaf, params, state.params)
+            batch_stats = jax.tree_util.tree_map(
+                replace_leaf, batch_stats, state.batch_stats)
+            opt_state = jax.tree_util.tree_map(replace_leaf, opt_state, state.opt_state)
         self.logger.print(f"Loaded snapshot at epoch {epoch}")
         return state.replace(params=params, batch_stats=batch_stats, opt_state=opt_state), epoch
 

@@ -72,7 +72,6 @@ def copy_events(logdir: str):
                  and "args" in e and "tid" in e}
     op_tids = {k for k, n in tid_names.items() if "XLA Ops" in n}
     out = defaultdict(lambda: [0.0, 0, {}])
-    steps = 0
     for e in events:
         if (e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e
                 and (e["pid"], e.get("tid")) in op_tids):
@@ -88,9 +87,32 @@ def copy_events(logdir: str):
                 rec[0] += e["dur"]
                 rec[1] += 1
                 rec[2] = a
-            if base == "fusion" or "custom-call" in name:
-                steps = max(steps, 1)
     return out
+
+
+def count_steps(logdir: str) -> int:
+    """Per-step normalization from the trace itself: scan-body fusions repeat
+    once per step, so the MODE of the per-name repeat counts over device
+    fusion events is the step count (robust against the handful of
+    once-per-dispatch prologue/epilogue ops). Returns 0 when undeterminable
+    (caller falls back to --steps)."""
+    events = _load_trace(logdir)
+    pid_names = {e["pid"]: e["args"]["name"] for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    dev_pids = {p for p, n in pid_names.items()
+                if "TPU" in n and "transfer" not in n.lower()}
+    counts = defaultdict(int)
+    for e in events:
+        if (e.get("ph") == "X" and e.get("pid") in dev_pids and "dur" in e
+                and e.get("name", "").split(".")[0] == "fusion"):
+            counts[e["name"]] += 1
+    if not counts:
+        return 0
+    freq = defaultdict(int)
+    for c in counts.values():
+        freq[c] += 1
+    return max(freq.items(), key=lambda kv: (kv[1], kv[0]))[0]
 
 
 def attribute(names, hlo_dump=HLO_DUMP):
@@ -115,12 +137,19 @@ def main():
     ap.add_argument("--logdir", default="/tmp/eoe_copy_prof")
     ap.add_argument("--model", default="clip")
     ap.add_argument("--parse-only", action="store_true")
-    ap.add_argument("--steps", type=int, default=96,
-                    help="steps per epoch for per-step normalization")
+    ap.add_argument("--steps", type=int, default=None,
+                    help="steps per epoch for per-step normalization "
+                         "(default: inferred from the trace's modal fusion "
+                         "repeat count; 96 if undeterminable)")
     args = ap.parse_args()
     if not args.parse_only:
         run(args.logdir, args.model)
     ev = copy_events(args.logdir)
+    if args.steps is None:
+        inferred = count_steps(args.logdir)
+        args.steps = inferred or 96
+        print(f"steps/epoch: {args.steps} "
+              f"({'inferred from trace' if inferred else 'fallback default'})")
     total = sum(v[0] for v in ev.values())
     print(f"\ncopy-category device time: {total / 1e3:.2f}ms over the epoch "
           f"(~{total / 1e3 / args.steps:.3f}ms/step at {args.steps} steps)")

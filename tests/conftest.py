@@ -19,6 +19,20 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# fast/slow lanes: the full suite exceeds a 10-minute single-core budget, so
+# heavyweight end-to-end modules are auto-marked `slow`. Fast lane:
+# `pytest -m 'not slow'` (< ~5 min on one core); slow lane: `pytest -m slow`.
+SLOW_MODULES = {
+    "test_main", "test_folder_datasets", "test_clip", "test_multihost",
+    "test_model_parity", "test_parallel", "test_stem", "test_trainer",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():

@@ -287,6 +287,62 @@ def test_evolve_vmapped_evaluator(tmp_path):
     assert all(np.isfinite(f) and 0.0 <= f <= 1.0 for f in fits)
 
 
+def _dsvdd_evolve_trainer(tmp_path, epochs=1, iterations=1):
+    import argparse
+    from eoe_tpu.main import evolve_trainer
+    from eoe_tpu.models.cnn import CNN32
+
+    args = argparse.Namespace(classes=[0], iterations=iterations)
+    trainer, oeds, _ = evolve_trainer(
+        "dsvdd", "", "cifar10", "cifar100", epochs, 1e-3, 0.0, [], 16,
+        "one_vs_rest", None, CNN32(rep_dim=32), [], [], classes=[0],
+        dataset_path=str(tmp_path), superdir=str(tmp_path))
+    return trainer, oeds, args
+
+
+def test_evolve_vmapped_dsvdd_center_per_iteration(tmp_path):
+    """DSVDD's center is a function of the iteration's INIT WEIGHTS: the
+    vmapped path must recompute it per iteration like the sequential path
+    (trainer.train_cls), not reuse iteration 0's (round-4 bug: a single
+    `if trainer.center is None` guard). Reference semantics:
+    /root/reference/src/eoe/training/dsvdd.py:10-21."""
+    import jax
+    from eoe_tpu.evolve import init_individual
+    from eoe_tpu.evolve.vmapped import VmappedEvaluator
+
+    trainer, oeds, args = _dsvdd_evolve_trainer(tmp_path, epochs=1, iterations=2)
+    ev = VmappedEvaluator(trainer, args, chunk=4)
+    fits = ev.evaluate_population([[init_individual(oeds)] for _ in range(2)])
+    assert len(fits) == 2 and all(np.isfinite(f) for f in fits)
+    assert sorted(ev._centers) == [0, 1]
+    c0, c1 = (np.asarray(ev._centers[i]) for i in (0, 1))
+    assert not np.allclose(c0, c1), "different init weights must give different centers"
+    # each must equal the sequential path's center for that iteration
+    ds = trainer.ds
+    for it in (0, 1):
+        key = jax.random.fold_in(jax.random.fold_in(
+            jax.random.key(trainer.seed), 0), it)
+        base = trainer.init_state(key, ds, 1)
+        seq_center = trainer.prepare_metric("x", ds, base, it)
+        np.testing.assert_allclose(np.asarray(ev._centers[it]),
+                                   np.asarray(seq_center), rtol=1e-5, atol=1e-6)
+
+
+def test_evolve_vmapped_dsvdd_matches_sequential(tmp_path):
+    """Sequential (reference-shaped evaluate_individual) vs vmapped DSVDD
+    fitness must agree: same init key, same epoch-plan seed, same center."""
+    from eoe_tpu.evolve import evaluate_individual, init_individual
+    from eoe_tpu.evolve.vmapped import VmappedEvaluator
+
+    trainer, oeds, args = _dsvdd_evolve_trainer(tmp_path, epochs=2, iterations=1)
+    inds = [[init_individual(oeds)] for _ in range(2)]
+    ev = VmappedEvaluator(trainer, args, chunk=4)
+    fits_v = ev.evaluate_population(inds)
+    trainer.center = None
+    fits_s = [evaluate_individual(list(ind), trainer, args, None) for ind in inds]
+    np.testing.assert_allclose(fits_v, fits_s, atol=2e-2)
+
+
 def test_clip_setup_json_records_raw_specs(tmp_path):
     """ClipTrainer resolves placeholder specs internally but setup.json must
     record the RAW runner specs so --load's equality assertions hold."""

@@ -76,6 +76,84 @@ def test_prepare_cifar10_extracts_loadable_layout(tmp_path):
         main(["cifar10", arch, "--datapath", str(tmp_path)])
 
 
+# --------------------------------------------------------------- download
+
+
+def _fake_cifar10_archive(path):
+    def batch(n, labels_key=b"labels"):
+        return pickle.dumps({
+            b"data": np.zeros((n, 3072), np.uint8),
+            labels_key: list(np.zeros(n, np.int64))})
+
+    tree = {f"cifar-10-batches-py/data_batch_{i}": batch(4) for i in range(1, 6)}
+    tree["cifar-10-batches-py/test_batch"] = batch(4)
+    return _tar_from_tree(tree, path)
+
+
+def test_download_then_check_only_roundtrip(tmp_path, monkeypatch):
+    """--download (mocked fetch, reference endpoints mvtec.py:323-333 /
+    clip.py:36-53) -> placed layout -> --check-only passes. The fetched
+    archive is digest-verified like a user-supplied one, so the fake archive
+    must pair with --skip-hash."""
+    import eoe_tpu.main.prepare_data as pd
+
+    fetched_urls = []
+
+    def fake_fetch(url, dest, timeout=30.0):
+        fetched_urls.append(url)
+        os.makedirs(pt.dirname(dest), exist_ok=True)
+        _fake_cifar10_archive(dest)
+        return dest
+
+    monkeypatch.setattr(pd, "fetch_url", fake_fetch)
+    out = main(["cifar10", "--download", "--datapath", str(tmp_path),
+                "--skip-hash"])
+    assert pt.isdir(out)
+    assert fetched_urls == [pd.DOWNLOAD_URLS["cifar10"][0]]
+    # downloaded file landed in the default download dir
+    assert pt.isfile(pt.join(str(tmp_path), "downloads", "cifar-10-python.tar.gz"))
+    # the placed layout passes --check-only
+    assert main(["cifar10", "--check-only", "--datapath", str(tmp_path)])
+
+
+def test_download_skips_cleanly_without_egress(tmp_path, monkeypatch, capsys):
+    """No egress (the fetch raises) must be a clean skip: message, no
+    traceback, None return."""
+    import eoe_tpu.main.prepare_data as pd
+
+    def no_egress(url, dest, timeout=30.0):
+        raise OSError("Network is unreachable")
+
+    monkeypatch.setattr(pd, "fetch_url", no_egress)
+    out = main(["cifar10", "--download", "--datapath", str(tmp_path)])
+    assert out is None
+    assert "download failed" in capsys.readouterr().out
+    # datasets with no public endpoint skip with a message too
+    out = main(["imagenet30", "--download", "--datapath", str(tmp_path)])
+    assert out is None
+    assert "no public download endpoint" in capsys.readouterr().out
+
+
+def test_download_reuses_verified_archive(tmp_path, monkeypatch):
+    """A previously-downloaded archive with a matching digest is not
+    re-fetched."""
+    import eoe_tpu.main.prepare_data as pd
+
+    dl = tmp_path / "downloads"
+    dl.mkdir()
+    arch = dl / "cifar-10-python.tar.gz"
+    _fake_cifar10_archive(str(arch))
+    digest = file_digest(str(arch), "md5")
+    monkeypatch.setitem(pd.ARCHIVE_MD5, "cifar-10-python.tar.gz", digest)
+
+    def must_not_fetch(url, dest, timeout=30.0):
+        raise AssertionError("should not re-fetch a verified archive")
+
+    monkeypatch.setattr(pd, "fetch_url", must_not_fetch)
+    out = main(["cifar10", "--download", "--datapath", str(tmp_path)])
+    assert pt.isdir(out)
+
+
 # ----------------------------------------------------------------- mvtec
 
 

@@ -108,6 +108,29 @@ def test_fused_stem_vmap_batching():
         assert err < 1e-4, (jax.tree_util.keystr(pa), err)
 
 
+def test_fused_stem_input_gradients_match_autodiff():
+    """The dx contract: exact input cotangents (round-5 fix — the zero-dx
+    formulation broke input-gradient parity vs the torch reference for any
+    consumer differentiating through the stem)."""
+    m_f, m_u = _small_models()
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(2, 32, 32, 3)),
+                    jnp.float32)
+    v = m_f.init(jax.random.key(7), x, train=True)
+
+    def loss(model, xin):
+        out, _ = model.apply(v, xin, train=True, mutable=["batch_stats"])
+        return jnp.sum(out ** 2)
+
+    dx_f = jax.grad(lambda xin: loss(m_f, xin))(x)
+    dx_u = jax.grad(lambda xin: loss(m_u, xin))(x)
+    scale = max(float(jnp.abs(dx_u).max()), 1e-8)
+    err = float(jnp.abs(dx_f - dx_u).max()) / scale
+    assert err < 1e-4, err
+    # the fused path must not silently zero elements autodiff keeps
+    nz_u = np.asarray(dx_u) != 0
+    assert np.count_nonzero(np.asarray(dx_f)[nz_u] == 0) == 0
+
+
 def test_fused_stem_op_degenerate_all_negative():
     """All-dead stem (every pooled max <= 0): zero grads, like autodiff."""
     rng = np.random.default_rng(5)

@@ -33,7 +33,7 @@ class TinyNet(nn.Module):
         return x
 
 
-def separable_ds(rng, n=128, hw=8, n_classes=3):
+def separable_ds(rng, n=128, hw=8, n_classes=3, specs=()):
     """Synthetic combined dataset (normal + OE) where class identity is
     linearly visible, so HSC with OE can trivially separate it."""
     from eoe_tpu.datasets.bases import CombinedDataset
@@ -46,7 +46,8 @@ def separable_ds(rng, n=128, hw=8, n_classes=3):
 
     xtr, ytr = make(n)
     xte, yte = make(n // 2)
-    kw = dict(root="", train_specs=[], test_specs=[], n_classes=n_classes, raw_shape=(hw, hw, 3))
+    kw = dict(root="", train_specs=list(specs), test_specs=list(specs),
+              n_classes=n_classes, raw_shape=(hw, hw, 3))
     normal = GenericADDataset(ArraySource(xtr, ytr), ArraySource(xte, yte),
                               normal_classes=(0,), nominal_label=0, **kw)
     # OE = the anomalous classes, flipped label (load_dataset semantics)
@@ -146,6 +147,98 @@ def test_cnn32_with_batchnorm_trains(tmp_path):
     trainer = make_trainer(tmp_path, "hsc", epochs=1, model=CNN32(rep_dim=32))
     _, res = trainer.run(run_classes=[0], run_seeds=1)
     assert np.isfinite(res["mean_auc"])
+
+
+def test_dsvdd_center_deviation_bounded(tmp_path, rng):
+    """Bounds the PARITY-documented DSVDD center deviations vs the reference
+    (dsvdd.py:10-21): we use a count-weighted GLOBAL mean over
+    PIPELINE-TRANSFORMED inputs; the reference uses a mean of per-batch means
+    over loader outputs WITHOUT the device-side normalize. Training and
+    evaluating with a reference-style center must land within 5 AUROC points
+    on a synthetic separable config."""
+    from eoe_tpu.ops.losses import dsvdd_center
+    from eoe_tpu.training.trainer import Trainer
+
+    def ref_style_center(trainer, ds, state):
+        """mean-of-batch-means over raw [0,1] images, eps clamp (dsvdd.py)."""
+        train_set = ds.train_set
+        B = trainer.batch_size
+        means = []
+        for i in range(0, len(train_set), B):
+            pos = np.arange(i, min(i + B, len(train_set)))
+            x = jnp.asarray(np.asarray(train_set.gather(pos)), jnp.float32) / 255.0
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            feats = trainer.model.apply(
+                variables, x.astype(trainer.compute_dtype), train=False)
+            means.append(np.asarray(feats, np.float32).mean(axis=0))
+        c = np.stack(means).mean(axis=0)
+        return dsvdd_center(jnp.asarray(c), jnp.asarray(1.0))
+
+    aucs = {}
+    for variant in ("ours", "reference_style"):
+        logger = Logger(str(tmp_path / variant), noname=True, archive_source=False)
+        trainer = TRAINER["dsvdd"](
+            model=TinyNet(), train_specs=["normalize"], test_specs=["normalize"],
+            dataset="cifar10", oe_dataset="cifar100",
+            datapath=str(tmp_path / variant / "data"), logger=logger, epochs=3,
+            lr=1e-3, wdk=0.0, milestones=[], batch_size=16)
+        # normalize in the pinned ds pipelines exercises deviation (b);
+        # n=100 gives a short last batch, exercising deviation (a)
+        trainer.ds = separable_ds(np.random.default_rng(0), n=100,
+                                  specs=["normalize"])
+        if variant == "reference_style":
+            orig = Trainer.prepare_metric
+            trainer.prepare_metric = (
+                lambda clsstr, ds, state, seed: ref_style_center(trainer, ds, state))
+        _, res = trainer.run(run_classes=[0], run_seeds=1)
+        aucs[variant] = res["mean_auc"]
+    assert abs(aucs["ours"] - aucs["reference_style"]) < 0.05, aucs
+
+
+def test_observability_artifacts(tmp_path):
+    """Round-5 fixtures: per-epoch train / per-class eval anomaly-score
+    histograms (ad_trainer.py:458-465,541-544) and PIPELINE-OUTPUT preview
+    grids (bases.py:246-291 — the reference previews loader output after all
+    transforms, not raw images)."""
+    import glob
+    trainer = make_trainer(tmp_path, "hsc", epochs=2)
+    trainer.run(run_classes=[0], run_seeds=1)
+    d = trainer.logger.dir
+    train_prev = glob.glob(pt.join(d, "training_cls0-*_preview.png"))
+    eval_prev = glob.glob(pt.join(d, "eval_cls0-*_preview.png"))
+    assert train_prev and eval_prev
+    with open(pt.join(d, "scalars.json")) as f:
+        scalars = json.load(f)
+    train_h = [k for k in scalars
+               if k.startswith("hist/Training: CLS0 SEED0 anomaly_scores")]
+    eval_h = [k for k in scalars
+              if k.startswith("hist/Eval: (SD0) anomaly_scores cls0")]
+    assert train_h and eval_h
+    # train histograms are per-epoch; each record carries counts + edges
+    normal_key = "hist/Training: CLS0 SEED0 anomaly_scores normal"
+    assert len(scalars[normal_key]) == 2
+    step, rec = scalars[normal_key][0]
+    assert len(rec["edges"]) == len(rec["counts"]) + 1 > 2
+
+
+def test_transformed_preview_applies_pipeline(tmp_path):
+    """The preview grid must show pipeline OUTPUT: with a crop in the train
+    specs the preview spatial shape is the crop size, not the raw size."""
+    logger = Logger(str(tmp_path), noname=True, archive_source=False)
+    trainer = TRAINER["hsc"](
+        model=TinyNet(), train_specs=[{"op": "random_crop", "size": 20}],
+        test_specs=[], dataset="cifar10", oe_dataset="cifar100",
+        datapath=str(tmp_path / "data"), logger=logger, epochs=0, lr=1e-3,
+        wdk=0.0, milestones=[], batch_size=16)
+    ds = load_dataset("cifar10", str(tmp_path / "data"), [0], 0,
+                      trainer.train_specs, trainer.test_specs, logger, "cifar100")
+    prev = trainer._transformed_preview(ds, 8, train=True)
+    assert prev.shape[1:3] == (20, 20)
+    assert prev.dtype == np.float32 and prev.min() >= 0.0 and prev.max() <= 1.0
+    # two groups: normal then OE (both halves of the training batch)
+    assert prev.shape[0] == 16
 
 
 def test_throughput_accounting(tmp_path):
