@@ -10,8 +10,9 @@ against the first recorded run in .bench_baseline.json (1.0 on the first run).
 Weights are randomly initialized (no egress for the OpenAI checkpoint);
 throughput is weight-independent.
 
-EOE_TPU_BENCH_MODEL=cnn32 switches to the CIFAR-scale CNN32 benchmark;
-EOE_TPU_BENCH_MODEL=wrn to WideResNet+CBAM at 224 (the ImageNet-30 config).
+By default all three acceptance models are measured (CNN32 + WideResNet+CBAM
+as companion keys in the same JSON line, CLIP last as the headline).
+EOE_TPU_BENCH_MODEL=cnn32|wrn|clip pins a single model.
 EOE_TPU_BENCH_MESH=N trains over an N-device data-parallel mesh and reports
 per-chip throughput (on the single-TPU session this is exercised with
 JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=N to
@@ -128,6 +129,42 @@ def build_trainer(model_kind: str, logger, mesh=None):
     return trainer, ds
 
 
+def measure(model_kind: str, mesh, n_chips: int) -> float:
+    """Steady-state img/s/chip of one training run of the given model."""
+    import jax.random as jrandom
+
+    from eoe_tpu.utils.logger import Logger
+
+    trainer, ds = build_trainer(model_kind, Logger("/tmp/eoe_tpu_bench", active=False),
+                                mesh=mesh)
+    # epoch 1 compiles + pays the resident-array device_put; steady state =
+    # median of the remaining per-epoch rates
+    trainer.train_cls(ds, 0, "bench", 0, jrandom.key(0))
+    steady = trainer.epoch_rates[2:] or trainer.epoch_rates[-1:]
+    return float(np.median(steady)) / max(n_chips, 1)
+
+
+def _baseline(rec_key: str, ips_chip: float) -> float:
+    """Per-config recorded baseline (seeded on first run; CLIP falls back to
+    the committed round-1 headline so vs_baseline measures progress since
+    round 1 on fresh machines)."""
+    baseline_file = pt.join(pt.dirname(pt.abspath(__file__)), ".bench_baseline.json")
+    base = None
+    if pt.exists(baseline_file):
+        with open(baseline_file) as f:
+            rec = json.load(f)
+        base = rec.get(rec_key)
+    if base is None and rec_key == "clip":
+        base = ROUND1_CLIP_BASELINE
+    if (base is None or not np.isfinite(base)) and np.isfinite(ips_chip):
+        rec = {} if not pt.exists(baseline_file) else json.load(open(baseline_file))
+        rec[rec_key] = ips_chip
+        with open(baseline_file, "w") as f:
+            json.dump(rec, f)
+        base = ips_chip
+    return base
+
+
 def main():
     import jax
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
@@ -138,11 +175,13 @@ def main():
     # machine-feature-specific and must not be reused)
     from eoe_tpu.main import _enable_compile_cache
     _enable_compile_cache()
-    import jax.random as jrandom
 
-    from eoe_tpu.utils.logger import Logger
-
-    model_kind = os.environ.get("EOE_TPU_BENCH_MODEL", "clip")
+    # EOE_TPU_BENCH_MODEL pins one model; the default measures all three
+    # acceptance models (cnn32 + wrn as companions, CLIP last = the headline)
+    # so round-over-round regressions in the non-headline models are visible
+    # in the recorded BENCH artifact.
+    pinned = os.environ.get("EOE_TPU_BENCH_MODEL")
+    models = [pinned] if pinned else ["cnn32", "wrn", "clip"]
     mesh = None
     mesh_n = int(os.environ.get("EOE_TPU_BENCH_MESH", "0"))
     if mesh_n > 1:
@@ -150,47 +189,33 @@ def main():
         mesh = meshlib.make_mesh(meshlib.MeshConfig(data=mesh_n),
                                  jax.devices()[:mesh_n])
     n_chips = mesh_n if mesh is not None else jax.device_count()
-    trainer, ds = build_trainer(model_kind, Logger("/tmp/eoe_tpu_bench", active=False),
-                                mesh=mesh)
 
-    # epoch 1 compiles + pays the resident-array device_put; steady state =
-    # median of the remaining per-epoch rates
-    trainer.train_cls(ds, 0, "bench", 0, jrandom.key(0))
-    steady = trainer.epoch_rates[2:] or trainer.epoch_rates[-1:]
-    ips_chip = float(np.median(steady)) / max(n_chips, 1)
+    results = {}
+    for model_kind in models:
+        ips_chip = measure(model_kind, mesh, n_chips)
+        # baseline records are per-backend and per-mesh so CPU scaling runs
+        # never pollute the TPU headline baseline
+        rec_key = model_kind + (f"@mesh{mesh_n}" if mesh is not None else "") \
+            + (f"@{jax.default_backend()}" if jax.default_backend() != "tpu" else "")
+        results[model_kind] = (ips_chip, _baseline(rec_key, ips_chip))
 
-    name = {"clip": "CLIP ViT-B/32", "wrn": "WideResNet+CBAM@224"}.get(model_kind, "CNN32")
-    # baseline records are per-backend and per-mesh so CPU scaling runs never
-    # pollute the TPU headline baseline
-    rec_key = model_kind + (f"@mesh{mesh_n}" if mesh is not None else "") \
-        + (f"@{jax.default_backend()}" if jax.default_backend() != "tpu" else "")
-    baseline_file = pt.join(pt.dirname(pt.abspath(__file__)), ".bench_baseline.json")
-    base = None
-    if pt.exists(baseline_file):
-        with open(baseline_file) as f:
-            rec = json.load(f)
-        base = rec.get(rec_key)
-    if base is None and rec_key == "clip":
-        # fresh machine: canonical committed baseline = the round-1 headline
-        # (2632 img/s/chip on one v5e, BENCH_r01), so vs_baseline keeps
-        # measuring progress since round 1 instead of resetting to 1.0
-        base = ROUND1_CLIP_BASELINE
-    if (base is None or not np.isfinite(base)) and np.isfinite(ips_chip):
-        rec = {} if not pt.exists(baseline_file) else json.load(open(baseline_file))
-        rec[rec_key] = ips_chip
-        with open(baseline_file, "w") as f:
-            json.dump(rec, f)
-        base = ips_chip
-
+    headline = models[-1]
+    ips_chip, base = results[headline]
+    name = {"clip": "CLIP ViT-B/32", "wrn": "WideResNet+CBAM@224"}.get(headline, "CNN32")
     mesh_tag = f", DP mesh x{mesh_n}" if mesh is not None else ""
     pipe_tag = ("light pipeline" if os.environ.get("EOE_TPU_BENCH_PIPELINE") == "light"
                 else "acceptance pipeline")
-    print(json.dumps({
+    out = {
         "metric": f"images/sec/chip ({name} HSC train, bf16, {pipe_tag}{mesh_tag})",
         "value": round(ips_chip, 1),
         "unit": "img/s/chip",
         "vs_baseline": round(ips_chip / base, 3),
-    }))
+    }
+    for model_kind, (v, b) in results.items():
+        if model_kind != headline:
+            out[model_kind] = round(v, 1)
+            out[f"{model_kind}_vs_baseline"] = round(v / b, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -10,6 +10,7 @@ no per-sample worker processes. The CIFAR-exclusion survivor index list is
 cached on disk next to the bin (role of the reference's class-level cache).
 """
 
+import os
 import os.path as pt
 from typing import Tuple
 
@@ -49,23 +50,28 @@ class TinyImagesSource(DataSource):
         return out
 
 
-def load_valid_indices(root: str) -> np.ndarray:
-    """All indices minus the CIFAR near-duplicates (cached as .npy)."""
+def load_valid_indices(root: str, n_records: int = N_TINY) -> np.ndarray:
+    """All indices minus the CIFAR near-duplicates (cached as .npy).
+
+    ``n_records`` bounds the index space to the ACTUAL record count of the
+    bin on disk — a truncated/partial copy (or a test stand-in slice) must
+    never produce reads past EOF, which memmap serves as empty slices."""
     cache = pt.join(root, "tinyimages_valid_idxs.npy")
-    if pt.exists(cache):
+    if n_records == N_TINY and pt.exists(cache):
         return np.load(cache)
     excl_file = pt.join(root, "80mn_cifar_idxs.txt")
-    mask = np.ones(N_TINY, dtype=bool)
+    mask = np.ones(n_records, dtype=bool)
     if pt.exists(excl_file):
         with open(excl_file) as f:
             # the file uses 1-based indices (tinyimages.py:97-100)
             excl = np.asarray([int(line) - 1 for line in f if line.strip()], dtype=np.int64)
-        mask[excl] = False
+        mask[excl[excl < n_records]] = False
     valid = np.flatnonzero(mask)
-    try:
-        np.save(cache, valid)
-    except OSError:
-        pass
+    if n_records == N_TINY:  # only the canonical bin's cache is reusable
+        try:
+            np.save(cache, valid)
+        except OSError:
+            pass
     return valid
 
 
@@ -97,7 +103,9 @@ class ADTinyImages(ADDataset):
                 0, 256, (512, 32, 32, 3), dtype=np.uint8)
             self._train_source = ArraySource(fake, np.zeros(512, np.int64))
         else:
-            self._train_source = TinyImagesSource(bin_path, load_valid_indices(ds_root))
+            n_rec = os.path.getsize(bin_path) // 3072
+            self._train_source = TinyImagesSource(
+                bin_path, load_valid_indices(ds_root, n_rec))
         self._train_set = self.create_subset(self._train_source)
         self._test_set = None  # OE only
         self.finalize()

@@ -23,7 +23,7 @@ import json
 import os
 import os.path as pt
 import time
-from argparse import ArgumentParser, Namespace
+from argparse import ArgumentParser, BooleanOptionalAction, Namespace
 from copy import deepcopy
 from itertools import product
 from typing import Callable, List, Optional, Sequence, Tuple, Union
@@ -105,7 +105,8 @@ def default_argsparse(modify_descr: Callable[[str], str],
                              "(the reference trains the from-scratch models in fp32).")
     parser.add_argument("--datapath", type=str, default=None,
                         help="Data root (default: $EOE_TPU_DATAPATH or ./data).")
-    parser.add_argument("--vmap-seeds", action="store_true",
+    parser.add_argument("--vmap-seeds", action=BooleanOptionalAction,
+                        default=None,
                         help="Train all seeds of a class as ONE vmapped program "
                              "(device-resident datasets; TPU-native grid "
                              "parallelism). Best for from-scratch models with "
@@ -114,7 +115,10 @@ def default_argsparse(modify_descr: Callable[[str], str],
                              "(pretrained init makes seed replicas identical). "
                              "On a data mesh (--devices N) the seed axis also "
                              "shards across chips when the seed count divides "
-                             "the mesh.")
+                             "the mesh. Default: auto — ON whenever the safe "
+                             "heuristic holds (multi-seed non-CLIP training "
+                             "from scratch on device-resident data); "
+                             "--no-vmap-seeds forces the sequential grid.")
     if modify_parser is not None:
         modify_parser(parser)
     args = parser.parse_args(argv)
@@ -459,7 +463,7 @@ def run_default_training(args: Namespace, model, train_specs, test_specs):
         superdir=args.superdir, dataset_path=args.datapath,
         compute_dtype=getattr(args, "compute_dtype", None))
     return trainer.run(args.classes, args.iterations, snapshots,
-                       vmap_seeds=getattr(args, 'vmap_seeds', False))
+                       vmap_seeds=getattr(args, 'vmap_seeds', None))
 
 
 # ---------------------------------------------------------------- resume

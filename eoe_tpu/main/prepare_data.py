@@ -593,10 +593,33 @@ def default_datapath() -> str:
     return dp()
 
 
+def check_all(root: str, args) -> str:
+    """`prepare_data all --check-only` (RUNBOOK §0): validate every dataset
+    layout present on disk. Absent datasets (checkers raise
+    FileNotFoundError) are reported and skipped; malformed layouts raise."""
+    import copy
+    checked, skipped = [], []
+    for ds, checker in sorted(CHECKERS.items()):
+        a = copy.copy(args)
+        a.dataset = ds  # check_cifar/check_idx key their layout off this
+        try:
+            checker(root, a)
+        except FileNotFoundError:
+            skipped.append(ds)
+            continue
+        checked.append(ds)
+    print(f"checked: {checked}\nabsent:  {skipped}")
+    if not checked:
+        raise FileNotFoundError(f"no prepared datasets found under {root}")
+    return root
+
+
 def main(argv=None) -> str:
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
-    p.add_argument("dataset", choices=sorted(HANDLERS))
+    p.add_argument("dataset", choices=sorted(HANDLERS) + ["all"],
+                   help="dataset to prepare; 'all' (with --check-only) "
+                        "validates every prepared layout (RUNBOOK §0)")
     p.add_argument("archives", nargs="*", help="user-provided archive file(s)")
     p.add_argument("--datapath", type=str, default=None,
                    help="data root (default: the runners' default datapath); "
@@ -639,9 +662,12 @@ def main(argv=None) -> str:
     if args.check_only:
         if args.archives:
             p.error("--check-only takes no archives")
-        out = CHECKERS[args.dataset](root, args)
+        out = (check_all if args.dataset == "all"
+               else CHECKERS[args.dataset])(root, args)
         print(f"{args.dataset} layout OK at {out}")
         return out
+    if args.dataset == "all":
+        p.error("'all' only works with --check-only")
     if args.download:
         if args.archives:
             p.error("--download and explicit archives are mutually exclusive")

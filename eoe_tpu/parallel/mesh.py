@@ -93,6 +93,39 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """``device_put`` that also works when the sharding spans devices of
+    OTHER processes (multi-process meshes): every process holds the same full
+    host value and contributes its addressable shards
+    (``make_array_from_callback``). Single-process shardings take the plain
+    ``device_put`` fast path. Typed PRNG-key arrays are placed via their
+    uint32 key data and re-wrapped on device."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        # already a global array (e.g. placed by the trainer's init path):
+        # resharding must go through a compiled identity, not host round-trip
+        if x.sharding == sharding:
+            return x
+        return jax.jit(lambda a: a, out_shardings=sharding)(x)
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    import jax.numpy as jnp
+    if isinstance(x, jax.Array) and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+        data = np.asarray(jax.random.key_data(x))
+        dspec = P(*(tuple(sharding.spec) + (None,) * (data.ndim - len(sharding.spec))))
+        gdata = put_global(data, NamedSharding(sharding.mesh, dspec))
+        impl = jax.random.key_impl(x)
+        return jax.jit(lambda d: jax.random.wrap_key_data(d, impl=impl),
+                       out_shardings=sharding)(gdata)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding,
+                                        lambda idx: np.ascontiguousarray(x[idx]))
+
+
+def put_global_tree(tree, sharding: NamedSharding):
+    """put_global over every leaf of a pytree (one sharding for all)."""
+    return jax.tree_util.tree_map(lambda l: put_global(l, sharding), tree)
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a host pytree of arrays on the mesh, batch-axis sharded.
 

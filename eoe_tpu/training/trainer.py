@@ -215,7 +215,7 @@ class Trainer:
                 ("model_init", tuple(sample.shape), str(sample.dtype)),
                 lambda: jax.jit(lambda k, s: self.model.init(k, s, train=False)))
             variables = init_fn(key, sample)
-        device = jax.devices()[0]
+        device = jax.local_devices()[0]
         params = variables.get("params", {})
         params = (self.place_params(params) if self.mesh is not None
                   else jax.device_put(params, device))
@@ -250,7 +250,10 @@ class Trainer:
                 lambda: jax.jit(lambda k, s: self.model.init(k, s, train=False)))
             variables = [init_fn(k, sample) for k in keys]
             stacked = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *variables)
-        device = jax.devices()[0]
+        # local_devices: under multi-process meshes jax.devices()[0] can be
+        # ANOTHER process's device, and a cross-process single-device commit
+        # poisons every downstream placement
+        device = jax.local_devices()[0]
         stacked = jax.device_put(stacked, device)
         params = stacked.get("params", {})
         batch_stats = stacked.get("batch_stats", {})
@@ -534,11 +537,20 @@ class Trainer:
 
     def run(self, run_classes: Optional[List[int]] = None, run_seeds: int = 1,
             load: Optional[List[List[str]]] = None, test: bool = True,
-            train: bool = True, vmap_seeds: bool = False) -> Tuple[Optional[list], dict]:
+            train: bool = True,
+            vmap_seeds: Optional[bool] = None) -> Tuple[Optional[list], dict]:
         """Iterate classes × seeds: build dataset, train, evaluate, snapshot
         (parity: ad_trainer.py:177-354). ``vmap_seeds`` trains all seeds of a
         class as one vmapped program on device-resident datasets (SURVEY.md
-        §2.7(b)); deviation: the seeds then share one dataset build."""
+        §2.7(b)); deviation: the seeds then share one dataset build.
+        ``None`` (default) auto-enables it whenever the heuristic is safe:
+        training multiple seeds from scratch (non-CLIP — pretrained init
+        makes seed replicas identical) without snapshot resume; the
+        device-residency requirement is checked by _try_vmap_seeds, which
+        falls back to the sequential path when unmet. True/False override."""
+        if vmap_seeds is None:
+            vmap_seeds = train and run_seeds > 1 and load is None \
+                and not self.objective.is_clip
         self.logger.logsetup({"run_classes": run_classes, "run_seeds": run_seeds,
                               "load": load}, step=1)
         classes = str_labels(self.dsstr)
@@ -556,6 +568,7 @@ class Trainer:
             vmapped_scores = vmapped_host_states = None
             if vmap_seeds and train and run_seeds > 1 and load is None:
                 vmapped_results = self._try_vmap_seeds(c, cstr, run_seeds)
+            self._last_grid_vmapped = vmapped_results is not None
             if vmapped_results is not None:
                 ds_v, stacked, _ = vmapped_results
                 if test:
@@ -564,8 +577,13 @@ class Trainer:
                     # download ladder n_seeds times)
                     from eoe_tpu.training.vmapped_seeds import eval_scores_vmapped
                     vmapped_scores = eval_scores_vmapped(self, ds_v, stacked, run_seeds)
-                # ONE packed download of the whole grid for snapshots
-                vmapped_host_states = jax.device_get(stacked)
+                # ONE packed download of the whole grid for snapshots;
+                # multi-process meshes all-gather the non-addressable leaves
+                if any(isinstance(l, jax.Array) and not l.is_fully_addressable
+                       for l in jax.tree_util.tree_leaves(stacked)):
+                    vmapped_host_states = jax.tree_util.tree_map(self._fetch, stacked)
+                else:
+                    vmapped_host_states = jax.device_get(stacked)
             for it in range(run_seeds):
                 self.logger.print(f'------ start training cls {c} "{cstr}" (seed {it}) ------')
                 cur_load = None
@@ -687,11 +705,6 @@ class Trainer:
         """Train all seeds of class c as one vmapped program when the dataset
         is device-resident; None -> caller falls back to the sequential path."""
         from eoe_tpu.training.vmapped_seeds import train_cls_vmapped_seeds
-        if jax.process_count() > 1:
-            # the vmapped grid's per-seed eval/snapshot downloads assume
-            # process-local arrays; multi-host runs take the (batch-sharded)
-            # sequential seed path instead
-            return None
         rng = np.random.default_rng([max(self.seed, 0), c, 0])
         ds = self._build_dataset(c, rng, None)
         train_set = ds.train_set
@@ -740,7 +753,7 @@ class Trainer:
         state)."""
         if self.mesh is not None:
             return state
-        return jax.device_put(state, jax.devices()[0])
+        return jax.device_put(state, jax.local_devices()[0])
 
     # ------------------------------------------------------------- train one cls
 
@@ -1137,9 +1150,11 @@ class Trainer:
             # initialized state's shardings so TP-sharded params stay sharded
             # (a default placement would replicate them and, multi-process,
             # mismatch the compiled program's input shardings)
+            from eoe_tpu.parallel.mesh import put_global
+
             def replace_leaf(new, ref):
                 if isinstance(ref, jax.Array) and ref.sharding is not None:
-                    return jax.device_put(new, ref.sharding)
+                    return put_global(new, ref.sharding)
                 return new
             params = jax.tree_util.tree_map(replace_leaf, params, state.params)
             batch_stats = jax.tree_util.tree_map(

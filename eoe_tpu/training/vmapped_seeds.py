@@ -77,8 +77,16 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
     # one batched upload (the per-seed init/upload loop cost ~250ms/seed)
     states = trainer.init_states_stacked(keys, ds, steps)
     _tlog(f"init_states_stacked x{n_seeds}", _t); _t = _time.time()
-    center = trainer.center = trainer.prepare_metric(
-        clsstr, ds, jax.tree_util.tree_map(lambda x: x[0], states), 0)
+    # per-SEED centers: the DSVDD center is a function of each seed's init
+    # weights (sequential parity: train_cls recomputes per seed), so the
+    # stacked center carries a seed axis and rides the vmap with the states.
+    # (CLIP prompt features are init-independent, so its K copies coincide.)
+    center = trainer.center = None
+    if trainer.objective.needs_center:
+        center = trainer.center = jnp.stack([
+            trainer.prepare_metric(
+                clsstr, ds, jax.tree_util.tree_map(lambda x: x[s], states), s)
+            for s in range(n_seeds)])
     rt_stats = trainer._rt_stats(ds)
     _tlog("prepare_metric", _t); _t = _time.time()
 
@@ -96,28 +104,42 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
     # 'model'); so do seed counts that don't divide the data axis.
     shard_seeds = False
     mesh = trainer.mesh
+    # multi-process meshes (pods): the same SPMD program works — host-side
+    # values (init states, plans, keys) are identical on every process, so
+    # device_put to global shardings is well-defined — but eager indexing of
+    # packed global uploads is not; those stay per-epoch host slices below.
+    multiproc = jax.process_count() > 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
-        from eoe_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+        from eoe_tpu.parallel.mesh import (DATA_AXIS, MODEL_AXIS, put_global,
+                                           put_global_tree)
         dv = mesh.shape.get(DATA_AXIS, 1)
         shard_seeds = (dv > 1 and n_seeds % dv == 0
                        and mesh.shape.get(MODEL_AXIS, 1) == 1)
         repl = NamedSharding(mesh, PartitionSpec())
         # sharded grid: seeds split over the data axis; otherwise everything
         # replicates on the mesh and each per-seed BATCH data-parallelizes
-        # through the step's sharding constraint instead
+        # through the step's sharding constraint instead. put_global handles
+        # multi-process meshes (device_put can't target non-addressable
+        # shardings; every process holds the same host values).
         seed_sh = (NamedSharding(mesh, PartitionSpec(DATA_AXIS))
                    if shard_seeds else repl)
-        states = jax.device_put(states, seed_sh)
-        Xn, Ln = jax.device_put(Xn, repl), jax.device_put(Ln, repl)
+        states = put_global_tree(states, seed_sh)
+        Xn, Ln = put_global(Xn, repl), put_global(Ln, repl)
         if has_oe:
-            Xo, Lo = jax.device_put(Xo, repl), jax.device_put(Lo, repl)
+            Xo, Lo = put_global(Xo, repl), put_global(Lo, repl)
         if center is not None:
-            center = jax.device_put(center, repl)
+            center = put_global(center, seed_sh)  # leading seed axis
         if rt_stats is not None:
-            rt_stats = jax.device_put(rt_stats, repl)
-        ekeys_all = jax.device_put(ekeys_all, NamedSharding(
-            mesh, PartitionSpec(None, DATA_AXIS if shard_seeds else None)))
+            rt_stats = put_global_tree(rt_stats, repl)
+        ekey_sh = NamedSharding(
+            mesh, PartitionSpec(DATA_AXIS if shard_seeds else None))
+        if not multiproc:
+            # one placement for the whole run; multi-process keeps the LOCAL
+            # key array (global arrays can't be indexed eagerly) and places
+            # each epoch's slice at loop time instead
+            ekeys_all = jax.device_put(ekeys_all, NamedSharding(
+                mesh, PartitionSpec(None, DATA_AXIS if shard_seeds else None)))
         _tlog(f"mesh placement (seed axis {'sharded' if shard_seeds else 'replicated'} "
               f"over {dv} devices)", _t); _t = _time.time()
     trainer._last_vmap_sharded = shard_seeds  # introspection for tests/logs
@@ -145,14 +167,14 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
                                            (idx_n, idx_o if has_oe else dummy, w))
                 return state, outs
 
-            # seeds on axis 0 of (state, plans, keys); the data arrays are shared
+            # seeds on axis 0 of (state, plans, keys, center); data is shared
             return jax.jit(jax.vmap(
                 train_epoch,
-                in_axes=(0, None, None, None, None, 0, 0, 0, 0, None, None)))
+                in_axes=(0, None, None, None, None, 0, 0, 0, 0, 0, None)))
 
         # CPU fallback: per-step dispatch of the vmapped core (see scan_ok)
         step_vmapped = jax.jit(jax.vmap(
-            train_step, in_axes=(0, None, None, None, None, 0, 0, 0, 0, None, None)))
+            train_step, in_axes=(0, None, None, None, None, 0, 0, 0, 0, 0, None)))
 
         def epoch_loop(states, Xn, Ln, Xo, Lo, idx_n, idx_o, w, keys, center, rt_stats):
             outs = []
@@ -198,13 +220,18 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
                 return jnp.asarray(arr)
             spec = PartitionSpec(*([None] * lead_axes),
                                  DATA_AXIS if shard_seeds else None)
-            return jax.device_put(arr, NamedSharding(mesh, spec))
+            return put_global(arr, NamedSharding(mesh, spec))
 
         _tlog("build/jit epoch fn", _t); _t = _time.time()
         per_epoch = [pack_epoch() for _ in range(trainer.epochs)]
         all_plans = np.stack(per_epoch) if per_epoch else None
+        # multi-process: the packed whole-run upload would be a GLOBAL array,
+        # and plans_d[ep] / ekeys_all[ep] can't be sliced eagerly — upload
+        # per epoch instead (pods don't pay the tunneled-chip latency the
+        # packing exists for)
         plans_d = (put_plan(all_plans, 2)
-                   if all_plans is not None and all_plans.nbytes <= 64 * 2 ** 20
+                   if all_plans is not None and not multiproc
+                   and all_plans.nbytes <= 64 * 2 ** 20
                    else None)
         _tlog("plan sampling + upload", _t); _t = _time.time()
 
@@ -214,16 +241,20 @@ def train_cls_vmapped_seeds(trainer, ds, cls: int, clsstr: str, n_seeds: int,
             idx_n = plan[0]
             idx_o = plan[1] if has_oe else plan[1][:, :, :1]
             w = plan[2].astype(jnp.float32)
+            ek = (put_global(ekeys_all[ep], ekey_sh)
+                  if (mesh is not None and multiproc) else ekeys_all[ep])
             states, last = epoch_vmapped(states, Xn, Ln, Xo, Lo, idx_n, idx_o, w,
-                                         ekeys_all[ep], center, rt_stats)
+                                         ek, center, rt_stats)
         jax.block_until_ready(states)
     finally:
         trainer._seed_axis_sharded = False
     _tlog(f"epoch dispatches x{trainer.epochs}", _t); _t = _time.time()
 
     # ONE packed download for every seed's last-epoch outputs (per-seed
-    # np.asarray paid the fixed per-transfer latency 3*n_seeds times)
-    last_h = jax.device_get((last[1], last[2], last[3])) if last is not None else None
+    # np.asarray paid the fixed per-transfer latency 3*n_seeds times);
+    # trainer._fetch all-gathers non-addressable (multi-process) outputs
+    last_h = (tuple(trainer._fetch(x) for x in (last[1], last[2], last[3]))
+              if last is not None else None)
     rocs = []
     for s in range(n_seeds):
         roc = None
@@ -268,7 +299,7 @@ def eval_scores_vmapped(trainer, ds, states, n_seeds: int) -> np.ndarray:
             ("vmap_seeds_eval", type(ds).__name__, tuple(ds.raw_shape), B,
              n_seeds, shard_seeds),
             lambda: jax.jit(jax.vmap(trainer._eval_step_core(ds),
-                                     in_axes=(0, None, None, None, None))))
+                                     in_axes=(0, None, None, 0, None))))
         rt_stats = trainer._rt_stats(ds)
         center = trainer.center
         from eoe_tpu.training.trainer import _is_resident
@@ -286,7 +317,9 @@ def eval_scores_vmapped(trainer, ds, states, n_seeds: int) -> np.ndarray:
             lb = labels if total == n else np.concatenate(
                 [labels, np.repeat(labels[-1:], total - n)])
             lb_d = jnp.asarray(lb)
-            if trainer.mesh is not None:
+            if trainer.mesh is not None and jax.process_count() == 1:
+                # multi-process keeps LOCAL test arrays: global replicated
+                # arrays can't be sliced eagerly (same pattern as eval_cls)
                 from jax.sharding import NamedSharding, PartitionSpec
                 repl = NamedSharding(trainer.mesh, PartitionSpec())
                 X_d, lb_d = jax.device_put(X_d, repl), jax.device_put(lb_d, repl)
@@ -305,8 +338,14 @@ def eval_scores_vmapped(trainer, ds, states, n_seeds: int) -> np.ndarray:
                     lb = np.concatenate([lb, np.repeat(lb[-1:], pad)])
                 outs.append(eval_fn(states, jnp.asarray(x), jnp.asarray(lb),
                                     center, rt_stats))
-        scores = np.asarray(jnp.concatenate(outs, axis=1)
-                            if len(outs) > 1 else outs[0])
+        if (len(outs) > 1 and isinstance(outs[0], jax.Array)
+                and not outs[0].is_fully_addressable):
+            # multi-process: device-side concat of global arrays is an eager
+            # op on non-addressable shards; gather per batch instead
+            scores = np.concatenate([trainer._fetch(o) for o in outs], axis=1)
+        else:
+            scores = np.asarray(jnp.concatenate(outs, axis=1)
+                                if len(outs) > 1 else trainer._fetch(outs[0]))
     finally:
         trainer._seed_axis_sharded = False
     return scores[:, :n]

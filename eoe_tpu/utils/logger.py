@@ -204,7 +204,10 @@ class Logger:
         JSON record in scalars.json (role of logger.py:479-491)."""
         if not self.active:
             return
-        vals = np.asarray(values).reshape(-1)
+        vals = np.asarray(values, np.float64).reshape(-1)
+        vals = vals[np.isfinite(vals)]
+        if vals.size == 0:  # tb's make_histogram raises on empty input
+            return
         if self.tb_writer is not None:
             self.add_histogram(name, vals, step)
         counts, edges = np.histogram(vals, bins=bins)

@@ -25,6 +25,7 @@ import pytest  # noqa: E402
 SLOW_MODULES = {
     "test_main", "test_folder_datasets", "test_clip", "test_multihost",
     "test_model_parity", "test_parallel", "test_stem", "test_trainer",
+    "test_runbook",
 }
 
 

@@ -41,6 +41,8 @@ def main():
 
     if mode == "trainer":
         return run_trainer(pid)
+    if mode == "vmapseeds":
+        return run_vmapseeds(pid)
 
     import jax.numpy as jnp
     import numpy as np
@@ -128,6 +130,40 @@ def run_trainer(pid: int):
     print("TRAINER-OK " + json.dumps({
         "pid": pid, "mean_auc": results["mean_auc"], "losses": losses,
         "logdir": logger.dir}), flush=True)
+
+
+def run_vmapseeds(pid: int):
+    """The seed-vmapped grid under jax.process_count()==2 (round-4 review:
+    it used to fall back to sequential on pods): 8 seeds of one class train
+    as ONE vmapped program with the seed axis sharded over the global
+    8-device data mesh. Prints VMAPSEEDS-OK {json} with per-seed AUCs; the
+    pytest parent asserts both processes agree and match its own
+    single-process vmapped run."""
+    import json
+
+    from eoe_tpu.parallel import mesh as meshlib
+
+    os.environ["EOE_TPU_FAKE_DATA"] = "1"
+    mesh = meshlib.make_mesh(meshlib.MeshConfig(data=8, model=1))
+
+    from eoe_tpu.models.cnn import CNN32
+    from eoe_tpu.training import TRAINER
+    from eoe_tpu.utils.logger import Logger
+
+    logger = Logger(os.environ["EOE_TPU_TRAINER_LOGDIR"], comment=f"vs_p{pid}")
+    trainer = TRAINER["hsc"](
+        model=CNN32(rep_dim=32),
+        train_specs=["normalize"], test_specs=["normalize"],
+        dataset="cifar10", oe_dataset="cifar100",
+        datapath=os.environ["EOE_TPU_TRAINER_DATAPATH"],
+        logger=logger, epochs=2, lr=1e-3, wdk=0.0, milestones=[],
+        batch_size=16, mesh=mesh)
+    _, results = trainer.run(run_classes=[0], run_seeds=8, vmap_seeds=True)
+    assert trainer._last_grid_vmapped, "vmapped grid must run under 2 processes"
+    assert trainer._last_vmap_sharded, "seed axis must shard over the data mesh"
+    print("VMAPSEEDS-OK " + json.dumps({
+        "pid": pid, "aucs": [round(float(a), 6) for a in results["cls_aucs"][0]],
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -119,6 +119,64 @@ def test_two_process_trainer_run(tmp_path):
         assert pt.exists(pt.join(rec["logdir"], "results.json"))
 
 
+def test_two_process_vmapped_seed_grid(tmp_path):
+    """The seed-vmapped grid works under jax.process_count()==2 (VERDICT
+    round-4 item 5: it used to fall back to sequential on pods): 8 seeds
+    train as ONE vmapped program, seed axis sharded over the global 8-device
+    mesh. Both processes must agree exactly, and match a single-process
+    vmapped run of the same config on the 8-device local mesh."""
+    import json
+
+    port = _free_port()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    for k in ("XLA_FLAGS", "EOE_TPU_DISTRIBUTED", "EOE_TPU_COORD_ADDR",
+              "EOE_TPU_NUM_PROCESSES", "EOE_TPU_PROCESS_ID"):
+        env.pop(k, None)
+    env["EOE_TPU_TRAINER_LOGDIR"] = str(tmp_path / "mh_logs")
+    env["EOE_TPU_TRAINER_DATAPATH"] = str(tmp_path / "mh_data")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(i), str(port), "vmapseeds"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in (0, 1)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=540)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    recs = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("VMAPSEEDS-OK ")]
+        assert line, out[-4000:]
+        recs.append(json.loads(line[-1][len("VMAPSEEDS-OK "):]))
+    assert recs[0]["aucs"] == recs[1]["aucs"]  # same SPMD program
+
+    import numpy as np
+
+    from eoe_tpu.models.cnn import CNN32
+    from eoe_tpu.parallel import mesh as meshlib
+    from eoe_tpu.training import TRAINER
+    from eoe_tpu.utils.logger import Logger
+
+    mesh = meshlib.cpu_mesh_for_tests(8)
+    trainer = TRAINER["hsc"](
+        model=CNN32(rep_dim=32),
+        train_specs=["normalize"], test_specs=["normalize"],
+        dataset="cifar10", oe_dataset="cifar100",
+        datapath=env["EOE_TPU_TRAINER_DATAPATH"],
+        logger=Logger(str(tmp_path / "sp_log"), comment="sp"),
+        epochs=2, lr=1e-3, wdk=0.0, milestones=[], batch_size=16, mesh=mesh)
+    _, results = trainer.run(run_classes=[0], run_seeds=8, vmap_seeds=True)
+    assert trainer._last_vmap_sharded
+    np.testing.assert_allclose(recs[0]["aucs"], results["cls_aucs"][0],
+                               atol=2e-3)
+
+
 def test_init_distributed_failure_warns(monkeypatch):
     """A misconfigured pod must warn loudly, not silently fall back to
     single-process (parallel/mesh.py init_distributed)."""

@@ -264,6 +264,41 @@ def test_vmap_seeds_matches_grid_semantics(tmp_path):
     assert s0 != s1
 
 
+def test_vmap_seeds_auto_enabled_when_safe(tmp_path):
+    """run() defaults vmap_seeds to AUTO: on for multi-seed non-CLIP training
+    from scratch on device-resident data (round-4 review: the 3x win should
+    not depend on knowing the flag); --no-vmap-seeds / vmap_seeds=False still
+    forces the sequential grid, and single-seed runs stay sequential."""
+    trainer = make_trainer(tmp_path / "auto", "hsc", epochs=1)
+    _, res_v = trainer.run(run_classes=[0], run_seeds=2)
+    assert trainer._last_grid_vmapped is True
+    trainer2 = make_trainer(tmp_path / "off", "hsc", epochs=1)
+    _, res_s = trainer2.run(run_classes=[0], run_seeds=2, vmap_seeds=False)
+    assert trainer2._last_grid_vmapped is False
+    # auto-on must be parity-safe vs the sequential grid
+    np.testing.assert_allclose(res_v["cls_aucs"][0], res_s["cls_aucs"][0],
+                               atol=2e-3)
+    trainer3 = make_trainer(tmp_path / "single", "hsc", epochs=1)
+    trainer3.run(run_classes=[0], run_seeds=1)
+    assert trainer3._last_grid_vmapped is False
+
+
+def test_vmap_seeds_dsvdd_per_seed_centers(tmp_path):
+    """DSVDD under the vmapped grid: each seed's center is a function of ITS
+    init weights (sequential parity, dsvdd.py:10-21) — centers must be
+    stacked per seed and the per-seed AUCs must match the sequential grid."""
+    trainer = make_trainer(tmp_path / "v", "dsvdd", epochs=2)
+    _, res_v = trainer.run(run_classes=[0], run_seeds=2, vmap_seeds=True)
+    assert trainer._last_grid_vmapped is True
+    c = np.asarray(trainer.center)
+    assert c.ndim >= 2 and c.shape[0] == 2
+    assert not np.allclose(c[0], c[1]), "per-seed centers must differ"
+    trainer2 = make_trainer(tmp_path / "s", "dsvdd", epochs=2)
+    _, res_s = trainer2.run(run_classes=[0], run_seeds=2, vmap_seeds=False)
+    np.testing.assert_allclose(res_v["cls_aucs"][0], res_s["cls_aucs"][0],
+                               atol=2e-3)
+
+
 def test_init_states_stacked_matches_per_seed(tmp_path):
     """The one-transfer stacked init is bit-equal to the per-seed init_state
     loop it replaced (params, batch_stats, opt_state, step)."""
