@@ -933,6 +933,21 @@ class Trainer:
                 + (f", train AUC {cls_roc.auc * 100:.2f}%" if cls_roc is not None else "")
                 + f", {n_imgs / max(time.time() - t0, 1e-9):.0f} img/s")
 
+        # perf tooling: write the COMPILED epoch program's optimized HLO to a
+        # file (experiments/copy_study.py). --xla_dump_to can't capture it on
+        # tunneled chips — compilation happens on the remote PJRT server — but
+        # compile().as_text() retrieves it through the client.
+        dump = os.environ.get("EOE_TPU_DUMP_EPOCH_HLO")
+        if dump and resident and self.epochs > start_epoch:
+            try:
+                txt = epoch_fn.lower(state, Xn, Ln, Xo, Lo, ep_plan,
+                                     starts_d[0], ekey, center,
+                                     rt_stats).compile().as_text()
+                with open(dump, "w") as f:
+                    f.write(txt)
+                self.logger.print(f"epoch HLO written to {dump}")
+            except Exception as e:  # never fail training over tooling
+                self.logger.warning(f"epoch-HLO dump failed: {e}")
         return state, cls_roc
 
     def make_train_epoch_resident(self, ds, tx, has_oe: bool, chunk: int):

@@ -35,6 +35,13 @@ def run(logdir: str, model: str = "clip"):
     os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                                + f" --xla_dump_to={HLO_DUMP}"
                                + " --xla_dump_hlo_as_text").strip()
+    # --xla_dump_to only captures LOCALLY-compiled modules; tunneled chips
+    # compile on the remote PJRT server, so the trainer additionally writes
+    # the compiled epoch program via compile().as_text() (attribute() prefers
+    # this file — module-local op names like copy.888 collide across modules)
+    os.makedirs(HLO_DUMP, exist_ok=True)
+    os.environ["EOE_TPU_DUMP_EPOCH_HLO"] = pt.join(
+        HLO_DUMP, "zz_epoch.after_optimizations.txt")
     import jax.random as jrandom
 
     import bench
@@ -116,8 +123,12 @@ def count_steps(logdir: str) -> int:
 
 
 def attribute(names, hlo_dump=HLO_DUMP):
-    """name -> matching HLO instruction line(s) from the optimized dump."""
-    files = sorted(glob.glob(pt.join(hlo_dump, "*after_optimizations.txt")))
+    """name -> matching HLO instruction line(s) from the optimized dump.
+    The trainer-written epoch module (zz_epoch...) is searched FIRST: op
+    names are module-local, so a copy.N from another dumped module would
+    attribute the wrong instruction."""
+    files = sorted(glob.glob(pt.join(hlo_dump, "*after_optimizations.txt")),
+                   key=lambda f: (0 if "zz_epoch" in f else 1, f))
     lines = {}
     for f in files:
         with open(f) as fh:
