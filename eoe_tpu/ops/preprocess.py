@@ -27,6 +27,7 @@ magnitudes the reference uses):
 """
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -137,6 +138,17 @@ def resize(images: Array, size: Tuple[int, int], method: str = "linear") -> Arra
     if (h, w) == tuple(size):
         return images
     return jax.image.resize(images, (n, size[0], size[1], c), method=method)
+
+
+def _resize_u8(images: Array, size: Tuple[int, int], method: str = "linear") -> Array:
+    """resize that keeps identity resizes OUT of the float conversion: a
+    same-shape resize passes raw uint8 bytes through (so a leading
+    ``resize`` spec over pre-resized blob data doesn't kill the uint8
+    index-op prefix); a real resize converts to float first (interpolating
+    in uint8 would quantize)."""
+    if images.shape[1:3] == tuple(size):
+        return images
+    return resize(_f32(images), size, method)
 
 
 def center_crop(images: Array, size: Tuple[int, int]) -> Array:
@@ -260,6 +272,83 @@ def random_hflip(images: Array, key: Array, p: float = 0.5) -> Array:
     return jnp.where(flip, images[:, :, ::-1, :], images)
 
 
+def _f32(images: Array) -> Array:
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
+def color_jitter_crop_flip(images: Array, key_jit: Array, key_crop: Array,
+                           key_flip: Optional[Array] = None, *,
+                           size: Tuple[int, int], p: float = 0.5,
+                           resample_degenerate: bool = False,
+                           brightness: float = 0.0, contrast: float = 0.0,
+                           saturation: float = 0.0, hue: float = 0.0) -> Array:
+    """color_jitter → random_crop [→ random_hflip] FUSED (padding-0 crops).
+
+    The unfused order (the reference's CLIP fine-tune stack,
+    train_clip_imagenet.py:28-37: ColorJitter before RandomCrop) forces the
+    crop gathers into float space and runs the jitter arithmetic over the
+    full pre-crop image. The fusion keeps the math but reorders the data
+    movement:
+
+      * the contrast statistic (per-image luma mean AFTER brightness — the
+        only full-resolution support in the chain) is computed as a fused
+        read+reduce over the raw input, with no full-size float write;
+      * the crop(+flip) gathers run on the RAW dtype (uint8 inputs move 4x
+        fewer bytes — 689µs/step of f32 gather relayout copies in the CLIP
+        acceptance trace);
+      * the remaining jitter chain is purely per-pixel once the mean is
+        precomputed, so it runs at CROP resolution as ONE fused elementwise
+        pass (the reduction that split the unfused chain in two is gone).
+
+    Per-pixel identical to the unfused composition: every jitter stage is
+    elementwise given (factors, mean), and uint8→float conversion commutes
+    with the gathers. Factors/offsets draw from each op's own key exactly as
+    unfused. One documented deviation: ``resample_degenerate`` tests the RAW
+    crop's constancy, while the unfused order tests the jittered crop (the
+    reference retries on the fully transformed tensor, imagenet.py:193-195).
+    A constant crop is constant under jitter and vice versa except when
+    clipping collapses a near-saturated crop's spread — with the reference's
+    ±0.01 factors that needs every pixel within 1% of white, i.e. exactly the
+    all-white-border case both verdicts already flag."""
+    n = images.shape[0]
+    shape = (n, 1, 1, 1)
+    kb, kc, ks, kh = jax.random.split(key_jit, 4)
+    fb = fc = None
+    if brightness > 0:
+        fb = jax.random.uniform(kb, shape, minval=max(0.0, 1 - brightness),
+                                maxval=1 + brightness)
+    if contrast > 0:
+        fc = jax.random.uniform(kc, shape, minval=max(0.0, 1 - contrast),
+                                maxval=1 + contrast)
+        full = _f32(images)
+        if fb is not None:
+            full = jnp.clip(full * fb, 0.0, 1.0)
+        mean = _luma(full).mean(axis=(1, 2)).reshape(n, 1, 1, 1)
+    if key_flip is not None:
+        out = random_crop_hflip(images, key_crop, key_flip, size=size, p=p,
+                                resample_degenerate=resample_degenerate)
+    else:
+        out = random_crop(images, key_crop, size=size,
+                          resample_degenerate=resample_degenerate)
+    out = _f32(out)
+    if fb is not None:
+        out = jnp.clip(out * fb, 0.0, 1.0)
+    if fc is not None:
+        out = jnp.clip(fc * out + (1 - fc) * mean, 0.0, 1.0)
+    if saturation > 0 and out.shape[-1] == 3:
+        fs = jax.random.uniform(ks, shape, minval=max(0.0, 1 - saturation),
+                                maxval=1 + saturation)
+        out = jnp.clip(fs * out + (1 - fs) * _luma(out)[..., None], 0.0, 1.0)
+    if hue > 0 and out.shape[-1] == 3:
+        d = jax.random.uniform(kh, (n, 1, 1), minval=-hue, maxval=hue)
+        hsv = _rgb_to_hsv(out)
+        hsv = hsv.at[..., 0].set((hsv[..., 0] + d) % 1.0)
+        out = _hsv_to_rgb(hsv)
+    return out
+
+
 def gaussian_noise(images: Array, key: Array, std: float) -> Array:
     return images + std * jax.random.normal(key, images.shape, dtype=images.dtype)
 
@@ -321,16 +410,40 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
                                                    degenerate_crop_guard)))
 
     specs_list = list(specs or ())
-    skip_next = False
+    skip = 0
     for si, raw in enumerate(specs_list):
-        if skip_next:
-            skip_next = False
+        if skip:
+            skip -= 1
             continue
         s = _canon(raw)
         op = s["op"].lower()
         nxt = _canon(specs_list[si + 1]) if si + 1 < len(specs_list) else {}
         nxt_op = str(nxt.get("op", "")).lower()
         n_before = len(steps)
+        # peephole: color_jitter + random_crop (+ random_hflip) fuse into
+        # color_jitter_crop_flip — raw-dtype gathers, full-support contrast
+        # statistic, single elementwise jitter pass at crop resolution (see
+        # its docstring). Padding-0 crops only: zero padding applied BEFORE
+        # jitter would be jittered (contrast mixes 0 toward the mean), so
+        # padded crops keep the unfused order.
+        if (op == "color_jitter" and nxt_op == "random_crop"
+                and int(nxt.get("padding", 0) or 0) == 0
+                and os.environ.get("EOE_TPU_FUSE_JITTER_CROP", "1") != "0"):
+            nxt2 = _canon(specs_list[si + 2]) if si + 2 < len(specs_list) else {}
+            has_flip = str(nxt2.get("op", "")).lower() in HFLIP_OPS
+            ckw = _crop_kw(nxt)
+            ckw.pop("padding")
+            fn = partial(
+                color_jitter_crop_flip,
+                brightness=float(s.get("brightness", 0.0)),
+                contrast=float(s.get("contrast", 0.0)),
+                saturation=float(s.get("saturation", 0.0)),
+                hue=float(s.get("hue", 0.0)),
+                p=float(nxt2.get("p", 0.5)) if has_flip else 0.5, **ckw)
+            steps.append((3 if has_flip else 2, fn))
+            u8_safe.append(True)  # converts internally, after the gathers
+            skip = 2 if has_flip else 1
+            continue
         # peephole: adjacent random_crop + random_hflip fuse into ONE pair of
         # gathers (random_crop_hflip) — the flip rides the crop's column
         # indices, bit-identical to the unfused ops (each keeps its own key,
@@ -340,7 +453,7 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             steps.append((2, partial(random_crop_hflip, flip_first=False,
                                      p=float(nxt.get("p", 0.5)), **_crop_kw(s))))
             u8_safe.append(True)
-            skip_next = True
+            skip = 1
             continue
         if op in HFLIP_OPS and nxt_op == "random_crop":
             fn = partial(random_crop_hflip, flip_first=True,
@@ -348,14 +461,20 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             # unfused order draws the flip's key FIRST; preserve it
             steps.append((2, lambda x, k1, k2, fn=fn: fn(x, k2, k1)))
             u8_safe.append(True)
-            skip_next = True
+            skip = 1
             continue
         if op in ("to_tensor", "totensor", "rgb"):
             continue  # images are already float NHWC in [0,1]
         elif op == "resize":
             size = s["size"]
             size = (size, size) if isinstance(size, int) else tuple(size)
-            steps.append((False, partial(resize, size=size, method=s.get("method", "linear"))))
+            # u8-safe wrapper: a resize whose target equals the input shape
+            # (pre-resized blobs, synthetic benches) must not break the
+            # uint8 index-op prefix; real resizes convert to float first
+            steps.append((False, partial(_resize_u8, size=size,
+                                         method=s.get("method", "linear"))))
+            u8_safe.append(True)
+            continue
         elif op == "center_crop":
             size = s["size"]
             size = (size, size) if isinstance(size, int) else tuple(size)
@@ -403,10 +522,12 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
 
             def _clip_pil(x, res=res):
                 if x.shape[-1] == 1:
-                    x = jnp.repeat(x, 3, axis=-1)
-                return resize(x, size=(res, res), method="cubic")
+                    x = jnp.repeat(x, 3, axis=-1)  # index-only: u8-safe
+                return _resize_u8(x, size=(res, res), method="cubic")
 
             steps.append((False, _clip_pil))
+            u8_safe.append(True)  # identity resizes pass raw bytes through
+            continue
         elif op == "clip_tensor_preprocessing":
             steps.append((False, partial(normalize, mean=CLIP_MEAN, std=CLIP_STD)))
         elif op == "normalize_with":
@@ -417,8 +538,8 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             raise PipelineError(f"unknown transform op: {op!r} (spec {raw!r})")
         u8_safe.extend([op in U8_SAFE] * (len(steps) - n_before))
 
-    n_random = sum(2 if kind == 2 else 1 for kind, _ in steps
-                   if kind is True or kind == 2)
+    n_random = sum(int(kind) for kind, _ in steps
+                   if kind is True or kind in (2, 3))
 
     def _to_float(images: Array) -> Array:
         if images.dtype == jnp.uint8:
@@ -439,9 +560,12 @@ def compile_pipeline(specs: Sequence[Spec], stats: Optional[DatasetStats] = None
             if kind is True:
                 images = fn(images, keys[ki])
                 ki += 1
-            elif kind == 2:  # fused crop+flip: consumes both ops' keys
+            elif kind == 2:  # fused pair: consumes both ops' keys in spec order
                 images = fn(images, keys[ki], keys[ki + 1])
                 ki += 2
+            elif kind == 3:  # fused jitter+crop+flip: all three ops' keys
+                images = fn(images, keys[ki], keys[ki + 1], keys[ki + 2])
+                ki += 3
             elif kind == STATS_OP:
                 images = fn(images, rt_stats)
             else:

@@ -203,3 +203,78 @@ def test_u8_index_ops_before_conversion(rng):
     pipe2 = compile_pipeline([{"op": "center_crop", "size": 8}])
     out2 = pipe2(jnp.asarray(x8))
     assert out2.dtype == jnp.float32 and float(out2.max()) <= 1.0
+
+
+@pytest.mark.parametrize("with_flip", [True, False])
+@pytest.mark.parametrize("guard", [False, True])
+def test_jitter_crop_flip_fusion_matches_unfused(with_flip, guard):
+    """compile_pipeline fuses color_jitter + random_crop (+ random_hflip)
+    into color_jitter_crop_flip: raw-dtype gathers, full-support contrast
+    statistic, one elementwise jitter pass at crop size. Per-pixel the math
+    is the unfused composition exactly (same keys per op), so outputs must
+    be bit-identical on non-degenerate data in uint8 and float."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 255, (6, 20, 20, 3)).astype(np.uint8)
+    jit = {"op": "color_jitter", "brightness": 0.3, "contrast": 0.3,
+           "saturation": 0.3, "hue": 0.1}
+    crop = {"op": "random_crop", "size": 9, "resample_degenerate": guard}
+    flip = {"op": "random_hflip", "p": 0.5}
+    specs = [jit, crop] + ([flip] if with_flip else [])
+    fused = compile_pipeline(specs)
+    assert fused.n_random == (3 if with_flip else 2)
+
+    import os
+    os.environ["EOE_TPU_FUSE_JITTER_CROP"] = "0"
+    try:
+        unfused = compile_pipeline(specs)
+    finally:
+        del os.environ["EOE_TPU_FUSE_JITTER_CROP"]
+    assert unfused.n_random == fused.n_random
+
+    for dtype_in in (img, img.astype(np.float32) / 255.0):
+        for seed in range(4):
+            key = jax.random.key(seed)
+            a = np.asarray(fused(jnp.asarray(dtype_in), key))
+            b = np.asarray(unfused(jnp.asarray(dtype_in), key))
+            assert a.shape == (6, 9, 9, 3)
+            np.testing.assert_array_equal(a, b)
+
+
+def test_jitter_crop_fusion_degenerate_contract():
+    """Degenerate crops under the fusion: the constancy verdict runs on the
+    RAW crop (documented deviation — the unfused order tests the jittered
+    crop), and the center fallback is jittered with the same factors, so a
+    constant-region crop yields jitter(center crop) exactly."""
+    from eoe_tpu.ops.preprocess import color_jitter_crop_flip
+    rng = np.random.default_rng(3)
+    img = np.full((4, 20, 20, 3), 128, np.uint8)  # crops constant except...
+    img[:, 8:12, 8:12] = rng.integers(0, 255, (4, 4, 4, 3))  # ...at the center
+    key = jax.random.key(0)
+    kj, kc = jax.random.split(key)
+    out = np.asarray(color_jitter_crop_flip(
+        jnp.asarray(img), kj, kc, size=(9, 9), resample_degenerate=True,
+        brightness=0.2, contrast=0.2))
+    # every output crop is either the (jittered) drawn crop or the jittered
+    # center crop; constant outputs would mean the fallback was skipped
+    for i in range(4):
+        spread = out[i].max() - out[i].min()
+        assert spread > 1e-6, "degenerate crop was not replaced"
+
+
+def test_identity_resize_keeps_u8_prefix():
+    """A resize whose target equals the input shape is a no-op and must not
+    break the uint8 prefix: [resize(same), crop+flip] equals [crop+flip]
+    bit-for-bit, and a REAL resize still interpolates in float."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 255, (4, 16, 16, 3)).astype(np.uint8)
+    key = jax.random.key(2)
+    with_rs = compile_pipeline([{"op": "resize", "size": 16},
+                                {"op": "random_crop", "size": 12},
+                                {"op": "random_hflip"}])
+    without = compile_pipeline([{"op": "random_crop", "size": 12},
+                                {"op": "random_hflip"}])
+    np.testing.assert_array_equal(np.asarray(with_rs(jnp.asarray(img), key)),
+                                  np.asarray(without(jnp.asarray(img), key)))
+    real = compile_pipeline([{"op": "resize", "size": 24}])
+    out = np.asarray(real(jnp.asarray(img)))
+    assert out.shape == (4, 24, 24, 3) and out.dtype == np.float32
