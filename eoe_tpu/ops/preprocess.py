@@ -350,6 +350,21 @@ def color_jitter_crop_flip(images: Array, key_jit: Array, key_crop: Array,
 
 
 def gaussian_noise(images: Array, key: Array, std: float) -> Array:
+    """Additive Gaussian noise (reference transformations.py's Noise /
+    torch.randn_like). EOE_TPU_RBG_NOISE=1 draws the bits from the TPU
+    hardware RNG (the ``rbg`` PRNG impl → XLA RngBitGenerator) instead of
+    threefry — a measured NEGATIVE for the default: isolated, the rbg draw
+    is 10x cheaper (0.018ms vs 0.186ms for a (256,224,224,3) normal on
+    v5e), but end-to-end on the CLIP acceptance step it recovers nothing
+    (4039.6 vs 4050.7 img/s, within noise) — the augmentation ladder's
+    ~2% noise term is the fusion-boundary materialization of the noise
+    chain, not bit generation, and the rng custom call breaks the same
+    fusion. Kept opt-in because rbg bits also aren't sharding/vmap-stable
+    the way threefry's are (the stream itself was never reference-pinned;
+    torch draws its own)."""
+    if os.environ.get("EOE_TPU_RBG_NOISE", "0") != "0":
+        data = jax.random.key_data(key).ravel()
+        key = jax.random.wrap_key_data(jnp.tile(data, 2)[:4], impl="rbg")
     return images + std * jax.random.normal(key, images.shape, dtype=images.dtype)
 
 

@@ -170,6 +170,21 @@ def test_gaussian_noise_deterministic_per_key(imgs):
     assert np.abs(a - c).max() > 1e-4
 
 
+def test_gaussian_noise_rbg_optin(imgs, monkeypatch):
+    """EOE_TPU_RBG_NOISE=1 draws the bits from the hardware RNG (rbg impl):
+    still per-key deterministic and roughly N(0, std), just a different
+    stream (documented end-to-end negative — see the op's docstring)."""
+    monkeypatch.setenv("EOE_TPU_RBG_NOISE", "1")
+    fn = compile_pipeline([{"op": "gaussian_noise", "std": 0.1}])
+    a = np.asarray(fn(jnp.array(imgs), jax.random.key(1)))
+    b = np.asarray(fn(jnp.array(imgs), jax.random.key(1)))
+    c = np.asarray(fn(jnp.array(imgs), jax.random.key(2)))
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 1e-4
+    d = a - np.asarray(imgs, np.float32) / 255.0  # the drawn noise itself
+    assert abs(float(d.mean())) < 0.01 and 0.05 < float(d.std()) < 0.2
+
+
 def test_color_jitter_bounds(imgs):
     fn = compile_pipeline([{"op": "color_jitter", "brightness": 0.2, "contrast": 0.2,
                             "saturation": 0.2, "hue": 0.1}])
