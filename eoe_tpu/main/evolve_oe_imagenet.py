@@ -95,6 +95,7 @@ def main(argv=None):
         tree.save(pt.join(logger.dir, "evolution"))
         tree.render(pt.join(logger.dir, "genealogy.png"), oeds=ds)
         tree.imsave_collection_best(logger, args.ms_mode, oeds=ds)
+        logger.drain()  # background preview/plot writes complete before exit
     return history, tree
 
 

@@ -694,6 +694,9 @@ class Trainer:
             "classes": classes,
         })
         self.logger.flush_scalars()
+        # wait for the logger's background artifact writes (plots, previews,
+        # snapshots): the on-disk contract is complete when run() returns
+        self.logger.drain()
         ret_states = states if Trainer.KEEP_SNAPSHOT_IN_RAM else None
         return ret_states, {
             "mean_auc": mean_auc, "mean_avg_prec": mean_ap, "std_auc": std_auc,

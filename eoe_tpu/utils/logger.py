@@ -13,11 +13,13 @@ A run directory ``log_{YYYYMMDDHHMMSS}_{comment}`` contains:
 Continued runs log into ``{old_dir}---CNTD`` (main/__init__.py:299,338).
 """
 
+import atexit
 import json
 import os
 import os.path as pt
 import tarfile
 import time
+from concurrent.futures import ThreadPoolExecutor
 from datetime import datetime
 from typing import List, Optional, Sequence
 
@@ -166,8 +168,45 @@ class Logger:
             except Exception:
                 self.tb_writer = None
         self._setup_logged = 0
+        # Artifact rendering/serialization (ROC/PRC PDFs, preview PNGs,
+        # snapshot msgpack) runs on ONE background worker so the chip trains
+        # the next seed/class while the host draws — the dominant term of the
+        # warm seed-grid wall-clock is this host I/O (PARITY "seed grid").
+        # A single worker keeps same-name writes FIFO; drain() (called at the
+        # end of Trainer.run / evolve) guarantees the on-disk contract is
+        # complete when those return. EOE_TPU_SYNC_IO=1 forces inline writes.
+        self._io_pool: Optional[ThreadPoolExecutor] = None
+        self._io_pending: list = []
+        self._io_sync = os.environ.get("EOE_TPU_SYNC_IO", "") == "1"
         if archive_source and self.active:
             self.log_source_archive()
+
+    # ---------------------------------------------------------- async io
+
+    def _io_submit(self, fn, what: str):
+        """Run `fn` on the background I/O worker (inline when sync-forced).
+        Exceptions become warnings — artifact rendering never fails a run."""
+        def guarded():
+            try:
+                fn()
+            except Exception as e:
+                self.warning(f"{what} failed: {e}", print_msg=False)
+        if self._io_sync:
+            guarded()
+            return
+        if self._io_pool is None:
+            self._io_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="eoe-logger-io")
+            atexit.register(self.drain)
+        self._io_pending.append(self._io_pool.submit(guarded))
+        if len(self._io_pending) > 64:  # keep the future list bounded
+            self._io_pending = [f for f in self._io_pending if not f.done()]
+
+    def drain(self):
+        """Block until every queued artifact write has hit disk."""
+        pending, self._io_pending = self._io_pending, []
+        for f in pending:
+            f.result()
 
     # ---------------------------------------------------------- text
 
@@ -274,12 +313,20 @@ class Logger:
         if not self.active:
             return
         try:
-            from PIL import Image
+            from PIL import Image  # noqa: F401 - fail fast on the caller
         except ImportError:
             return
+        # uint8-ify NOW (it copies, decoupling from caller-owned buffers),
+        # then build+encode the grid on the I/O worker
         imgs = np.asarray(images)
-        if imgs.dtype != np.uint8:
-            imgs = (np.clip(imgs, 0, 1) * 255).astype(np.uint8)
+        imgs = (imgs.copy() if imgs.dtype == np.uint8
+                else (np.clip(imgs, 0, 1) * 255).astype(np.uint8))
+        self._io_submit(lambda: self._render_img(name, imgs, nrow, rowheaders),
+                        f"logimg({name})")
+
+    def _render_img(self, name: str, imgs: np.ndarray, nrow: int,
+                    rowheaders: Optional[List[str]]):
+        from PIL import Image
         n, h, w, c = imgs.shape
         ncol = nrow
         nrows = int(np.ceil(n / ncol))
@@ -322,11 +369,15 @@ class Logger:
         is_roc = isinstance(kept[0], ROC)
         mean = mean_roc(kept) if is_roc else None
         if self.active:
-            try:
-                import matplotlib
-                matplotlib.use("Agg")
-                import matplotlib.pyplot as plt
-                fig, ax = plt.subplots(figsize=(5, 5))
+            labels = list(labels) if labels is not None else None
+            path = pt.join(self.dir, f"{name}.pdf")
+
+            def render():
+                # object-oriented matplotlib (no pyplot): safe on the I/O
+                # worker thread — pyplot's global figure registry is not
+                from matplotlib.figure import Figure
+                fig = Figure(figsize=(5, 5))
+                ax = fig.subplots()
                 for i, cur in enumerate(curves):
                     if cur is None:
                         continue
@@ -343,10 +394,9 @@ class Logger:
                 ax.set_ylabel("TPR" if is_roc else "Precision")
                 if labels is not None or len(kept) > 1:
                     ax.legend(fontsize=6)
-                fig.savefig(pt.join(self.dir, f"{name}.pdf"), bbox_inches="tight")
-                plt.close(fig)
-            except Exception as e:
-                self.warning(f"plot_many({name}) failed: {e}", print_msg=False)
+                fig.savefig(path, bbox_inches="tight")
+
+            self._io_submit(render, f"plot_many({name})")
         if is_roc:
             # mean curve with the seed-wise AUC std attached (ad_trainer.py:341)
             return _MeanROC(mean.tpr, mean.fpr, mean.thresholds, mean.auc,
@@ -363,14 +413,21 @@ class Logger:
 
     def snapshot(self, name: str, payload: dict) -> str:
         """Serialize {'params', 'batch_stats', 'opt_state', 'epoch',
-        'ds_statistics', ...} (role of logger.py:318-340)."""
+        'ds_statistics', ...} (role of logger.py:318-340). The msgpack
+        encode + write happens on the I/O worker (the payload's host arrays
+        must not be mutated afterwards — the trainer fetches fresh copies);
+        the returned path is valid once ``drain()`` has run."""
         if not self.active:
             return ""
-        from flax import serialization
         path = self.snapshot_path(name)
-        os.makedirs(pt.dirname(path), exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(serialization.msgpack_serialize(payload))
+
+        def write():
+            from flax import serialization
+            os.makedirs(pt.dirname(path), exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(serialization.msgpack_serialize(payload))
+
+        self._io_submit(write, f"snapshot({name})")
         return path
 
 
