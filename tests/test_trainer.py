@@ -376,6 +376,48 @@ def test_logger_tensorboard_default_on(tmp_path):
     assert off.tb_writer is None
 
 
+def test_logger_async_io_contract(tmp_path, monkeypatch):
+    """Artifact writes run on the background I/O worker; drain() makes them
+    all durable, EOE_TPU_SYNC_IO=1 forces inline writes, and both modes
+    produce identical artifacts (PDF plots, preview PNGs, snapshot msgpack)."""
+    from flax import serialization
+
+    from eoe_tpu.ops.metrics import roc_curve
+
+    rng = np.random.RandomState(0)
+    scores = rng.randn(64)
+    labels = (rng.rand(64) > 0.5).astype(np.int32)
+    roc = roc_curve(labels, scores)
+    imgs = rng.randint(0, 255, (8, 16, 16, 3), np.uint8)
+    payload = {"params": {"w": np.arange(4.0)}, "epoch": 3}
+
+    outs = {}
+    for mode, sync in (("async", "0"), ("sync", "1")):
+        monkeypatch.setenv("EOE_TPU_SYNC_IO", sync)
+        logger = Logger(str(tmp_path / mode), noname=True, archive_source=False,
+                        tensorboard=False)
+        mean = logger.plot_many([roc, roc], labels=["a", "b"], name="roc")
+        assert abs(mean.auc - roc.auc) < 1e-9  # return value is synchronous
+        logger.logimg("preview", imgs, nrow=4)
+        path = logger.snapshot("snap", payload)
+        logger.drain()
+        assert pt.isfile(pt.join(logger.dir, "roc.pdf"))
+        assert pt.isfile(pt.join(logger.dir, "preview.png"))
+        assert pt.isfile(path)
+        outs[mode] = serialization.msgpack_restore(open(path, "rb").read())
+        # drain is idempotent and re-submittable afterwards
+        logger.drain()
+        logger.logimg("preview2", imgs, nrow=4)
+        logger.drain()
+        assert pt.isfile(pt.join(logger.dir, "preview2.png"))
+    np.testing.assert_array_equal(outs["async"]["params"]["w"],
+                                  outs["sync"]["params"]["w"])
+    # a failing artifact write becomes a warning, never an exception
+    logger.logimg("bad", np.zeros((2, 2), np.uint8))  # wrong rank
+    logger.drain()
+    assert pt.isfile(pt.join(logger.dir, "warnings.txt"))
+
+
 def test_resident_scan_path_matches_per_step(tmp_path, monkeypatch):
     """The TPU whole-epoch scan path and the CPU per-step fallback are the
     same program: same key -> identical final params and train AUC. (The scan
