@@ -1130,6 +1130,7 @@ class Trainer:
         """Load a snapshot into an initialized state; returns (state, epoch)
         (parity: ad_trainer.py:552-598). Feature-model-only snapshots for
         CustomNets are detected by the absence of the 'params' key."""
+        self.logger.drain()  # the snapshot may still be on the async I/O queue
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         if "params" not in payload:
@@ -1184,6 +1185,7 @@ class Trainer:
     def load_ds_statistics(self, path: Optional[str]) -> Optional[dict]:
         if path is None:
             return None
+        self.logger.drain()
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         stats = payload.get("ds_statistics") or None
@@ -1192,6 +1194,7 @@ class Trainer:
     def load_epochs_only(self, path: Optional[str]) -> int:
         if path is None:
             return 0
+        self.logger.drain()
         with open(path, "rb") as f:
             payload = serialization.msgpack_restore(f.read())
         return int(payload.get("epoch", 0))
