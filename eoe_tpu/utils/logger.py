@@ -13,7 +13,6 @@ A run directory ``log_{YYYYMMDDHHMMSS}_{comment}`` contains:
 Continued runs log into ``{old_dir}---CNTD`` (main/__init__.py:299,338).
 """
 
-import atexit
 import json
 import os
 import os.path as pt
@@ -26,6 +25,20 @@ from typing import List, Optional, Sequence
 import numpy as np
 
 from eoe_tpu.ops.metrics import PRC, ROC
+
+# ONE background worker shared by every Logger: a single thread keeps
+# same-name writes FIFO, bounds thread count in many-run processes (GA
+# searches, test suites), and concurrent.futures' own exit hook joins any
+# still-queued writes at interpreter shutdown.
+_IO_POOL: Optional[ThreadPoolExecutor] = None
+
+
+def _io_pool() -> ThreadPoolExecutor:
+    global _IO_POOL
+    if _IO_POOL is None:
+        _IO_POOL = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="eoe-logger-io")
+    return _IO_POOL
 
 
 class JsonEncoder(json.JSONEncoder):
@@ -169,13 +182,12 @@ class Logger:
                 self.tb_writer = None
         self._setup_logged = 0
         # Artifact rendering/serialization (ROC/PRC PDFs, preview PNGs,
-        # snapshot msgpack) runs on ONE background worker so the chip trains
-        # the next seed/class while the host draws — the dominant term of the
-        # warm seed-grid wall-clock is this host I/O (PARITY "seed grid").
-        # A single worker keeps same-name writes FIFO; drain() (called at the
-        # end of Trainer.run / evolve) guarantees the on-disk contract is
-        # complete when those return. EOE_TPU_SYNC_IO=1 forces inline writes.
-        self._io_pool: Optional[ThreadPoolExecutor] = None
+        # snapshot msgpack) runs on the shared background worker so the chip
+        # trains the next seed/class while the host draws — the dominant term
+        # of the warm seed-grid wall-clock is this host I/O (PARITY "seed
+        # grid"). drain() (called at the end of Trainer.run / evolve)
+        # guarantees the on-disk contract is complete when those return.
+        # EOE_TPU_SYNC_IO=1 forces inline writes.
         self._io_pending: list = []
         self._io_sync = os.environ.get("EOE_TPU_SYNC_IO", "") == "1"
         if archive_source and self.active:
@@ -194,11 +206,7 @@ class Logger:
         if self._io_sync:
             guarded()
             return
-        if self._io_pool is None:
-            self._io_pool = ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="eoe-logger-io")
-            atexit.register(self.drain)
-        self._io_pending.append(self._io_pool.submit(guarded))
+        self._io_pending.append(_io_pool().submit(guarded))
         if len(self._io_pending) > 64:  # keep the future list bounded
             self._io_pending = [f for f in self._io_pending if not f.done()]
 
