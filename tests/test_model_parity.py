@@ -33,7 +33,8 @@ def _load_ref_module(name, path):
 def ref_models():
     # resnet.py imports torchvision (absent here) and eoe.models.cbam at module
     # level: stub the former, alias the latter to the directly-loaded module
-    if "torchvision" not in sys.modules:
+    stubbed = "torchvision" not in sys.modules
+    if stubbed:
         tv = types.ModuleType("torchvision")
         tvm = types.ModuleType("torchvision.models")
 
@@ -50,7 +51,14 @@ def ref_models():
     sys.modules.setdefault("eoe.models", types.ModuleType("eoe.models"))
     sys.modules["eoe.models.cbam"] = cbam
     resnet = _load_ref_module("_ref_resnet", f"{REF}/resnet.py")
-    return cnn, cbam, resnet
+    yield cnn, cbam, resnet
+    # the spec-less stub poisons later importlib.util.find_spec("torchvision")
+    # probes in the same session (ValueError: __spec__ is None — e.g.
+    # transformers' availability check during test_clip): remove it once the
+    # reference modules (which hold direct references) are done with it.
+    if stubbed:
+        sys.modules.pop("torchvision", None)
+        sys.modules.pop("torchvision.models", None)
 
 
 # -------------------------------------------------------------- harness
