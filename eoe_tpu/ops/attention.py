@@ -181,6 +181,38 @@ def _softmax_f32(logits):
     return p / jnp.sum(p, axis=-1, keepdims=True)
 
 
+def _fwd_group_math(q2, k2, v2, bias, scale, per):
+    """One lane group's attention: (R, LANE) q/k/v slices -> (R, LANE) out."""
+    if per == 1:
+        logits = jax.lax.dot_general(
+            q2, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        p = _softmax_f32(logits).astype(q2.dtype)
+        return jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    R = q2.shape[0]
+    # scale q up front: for d=64 the scale is 2^-3, exact in bf16
+    q2 = q2 * jnp.asarray(scale, q2.dtype)
+    # pair packing (d=64): stack both heads' lane-masked K/V along the
+    # row dim so the group runs ONE (R,LANE)x(LANE,2R) logits matmul
+    # and ONE (R,2R)x(2R,LANE) PV matmul instead of two of each —
+    # half the MXU issues at double the tile size, identical math
+    # (masked V confines each head to its own lanes, and the PV
+    # contraction sums the two heads' outputs in its epilogue).
+    mA = _lane_mask(R, 0, per, q2.dtype)
+    mB = _lane_mask(R, 1, per, q2.dtype)
+    km = jnp.concatenate([k2 * mA, k2 * mB], axis=0)  # (2R, LANE)
+    vm = jnp.concatenate([v2 * mA, v2 * mB], axis=0)
+    logits = jax.lax.dot_general(
+        q2, km, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (R, 2R)
+    pA = _softmax_f32(logits[:, :R] + bias)
+    pB = _softmax_f32(logits[:, R:] + bias)
+    p = jnp.concatenate([pA, pB], axis=1).astype(q2.dtype)
+    return jax.lax.dot_general(p, vm, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _fwd_compute(qkv_ref, o_ref, *, heads: int, d: int, s_pad: int,
                  s_real: int, causal: bool):
     bn = qkv_ref.shape[0]
@@ -191,39 +223,72 @@ def _fwd_compute(qkv_ref, o_ref, *, heads: int, d: int, s_pad: int,
     scale = d ** -0.5
     for gi, per in _head_groups(heads, d):
         base = gi * LANE
-        q2 = x[:, base:base + LANE]
-        k2 = x[:, D + base:D + base + LANE]
-        v2 = x[:, 2 * D + base:2 * D + base + LANE]
-        if per == 1:
-            logits = jax.lax.dot_general(
-                q2, k2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + bias
-            p = _softmax_f32(logits).astype(x.dtype)
-            out = jax.lax.dot_general(p, v2, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-        else:
-            # scale q up front: for d=64 the scale is 2^-3, exact in bf16
-            q2 = q2 * jnp.asarray(scale, x.dtype)
-            # pair packing (d=64): stack both heads' lane-masked K/V along the
-            # row dim so the group runs ONE (R,LANE)x(LANE,2R) logits matmul
-            # and ONE (R,2R)x(2R,LANE) PV matmul instead of two of each —
-            # half the MXU issues at double the tile size, identical math
-            # (masked V confines each head to its own lanes, and the PV
-            # contraction sums the two heads' outputs in its epilogue).
-            mA = _lane_mask(R, 0, per, x.dtype)
-            mB = _lane_mask(R, 1, per, x.dtype)
-            km = jnp.concatenate([k2 * mA, k2 * mB], axis=0)  # (2R, LANE)
-            vm = jnp.concatenate([v2 * mA, v2 * mB], axis=0)
-            logits = jax.lax.dot_general(
-                q2, km, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (R, 2R)
-            pA = _softmax_f32(logits[:, :R] + bias)
-            pB = _softmax_f32(logits[:, R:] + bias)
-            p = jnp.concatenate([pA, pB], axis=1).astype(x.dtype)
-            out = jax.lax.dot_general(p, vm, (((1,), (0,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
+        out = _fwd_group_math(x[:, base:base + LANE],
+                              x[:, D + base:D + base + LANE],
+                              x[:, 2 * D + base:2 * D + base + LANE],
+                              bias, scale, per)
         o_ref[:, :, base:base + LANE] = (
             out.reshape(bn, s_pad, LANE).astype(o_ref.dtype))
+
+
+def _bwd_group_math(q2, k2, v2, g2, bias, scale, per):
+    """One lane group's attention backward: (R, LANE) slices -> dq, dk, dv."""
+    R = q2.shape[0]
+    if per == 1:
+        logits = jax.lax.dot_general(
+            q2, k2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + bias
+        p = _softmax_f32(logits)  # f32 (R, R)
+        pc = p.astype(q2.dtype)
+        dv = jax.lax.dot_general(pc, g2, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(g2, v2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p * scale
+        dsc = ds.astype(q2.dtype)
+        dq = jax.lax.dot_general(dsc, k2, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(dsc, q2, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        return dq, dk, dv
+    # pair packing (d=64, see _fwd_group_math): the five per-head matmuls of
+    # the pair collapse into five double-size ones. Lane masks move freely
+    # across each contraction's free index (the 0/1 masks square to
+    # themselves), so masking K/V rows up front and the dk/dv outputs
+    # afterwards reproduces the per-head math.
+    mA = _lane_mask(R, 0, per, q2.dtype)
+    mB = _lane_mask(R, 1, per, q2.dtype)
+    q2s = q2 * jnp.asarray(scale, q2.dtype)  # 2^-3: exact in bf16
+    km = jnp.concatenate([k2 * mA, k2 * mB], axis=0)  # (2R, LANE)
+    vm = jnp.concatenate([v2 * mA, v2 * mB], axis=0)
+    logits = jax.lax.dot_general(
+        q2s, km, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (R, 2R)
+    pA = _softmax_f32(logits[:, :R] + bias)
+    pB = _softmax_f32(logits[:, R:] + bias)
+    pc = jnp.concatenate([pA, pB], axis=1).astype(q2.dtype)
+    # dv_pair[c, l] = sum_r p[r, c] g[r, l]; head h's slice masked after
+    dv_pair = jax.lax.dot_general(pc, g2, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (2R, LANE)
+    dv = dv_pair[:R] * mA + dv_pair[R:] * mB
+    # dp_pair[r, c] = sum_l g[r, l] vm[c, l] (mask carried by vm)
+    dp_pair = jax.lax.dot_general(g2, vm, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (R, 2R)
+    dpA, dpB = dp_pair[:, :R], dp_pair[:, R:]
+    dsA = (dpA - jnp.sum(dpA * pA, axis=-1, keepdims=True)) * pA
+    dsB = (dpB - jnp.sum(dpB * pB, axis=-1, keepdims=True)) * pB
+    dsc = jnp.concatenate([dsA, dsB], axis=1).astype(q2.dtype)  # (R, 2R)
+    # dq = ds_A km_A + ds_B km_B in one contraction (km rows stacked);
+    # ds was built unscaled, so the logits' scale re-enters here and
+    # folds into dk's output mask multiplies
+    dq = jax.lax.dot_general(dsc, km, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dk_pair = jax.lax.dot_general(dsc, q2, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)  # (2R, LANE)
+    mAf = mA.astype(jnp.float32) * scale
+    mBf = mB.astype(jnp.float32) * scale
+    dk = dk_pair[:R] * mAf + dk_pair[R:] * mBf
+    return dq, dk, dv
 
 
 def _bwd_compute(qkv_ref, g_ref, dqkv_ref, *, heads: int, d: int,
@@ -237,70 +302,97 @@ def _bwd_compute(qkv_ref, g_ref, dqkv_ref, *, heads: int, d: int,
     scale = d ** -0.5
     for gi, per in _head_groups(heads, d):
         base = gi * LANE
-        q2 = x[:, base:base + LANE]
-        k2 = x[:, D + base:D + base + LANE]
-        v2 = x[:, 2 * D + base:2 * D + base + LANE]
-        g2 = g_all[:, base:base + LANE]
-        if per == 1:
-            logits = jax.lax.dot_general(
-                q2, k2, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32) * scale + bias
-            p = _softmax_f32(logits)  # f32 (R, R)
-            pc = p.astype(x.dtype)
-            dv = jax.lax.dot_general(pc, g2, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(g2, v2, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * p * scale
-            dsc = ds.astype(x.dtype)
-            dq = jax.lax.dot_general(dsc, k2, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dk = jax.lax.dot_general(dsc, q2, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-        else:
-            # pair packing (d=64, see _fwd_compute): the five per-head
-            # matmuls of the pair collapse into five double-size ones. Lane
-            # masks move freely across each contraction's free index (the
-            # 0/1 masks square to themselves), so masking K/V rows up front
-            # and the dk/dv outputs afterwards reproduces the per-head math.
-            mA = _lane_mask(R, 0, per, x.dtype)
-            mB = _lane_mask(R, 1, per, x.dtype)
-            q2s = q2 * jnp.asarray(scale, x.dtype)  # 2^-3: exact in bf16
-            km = jnp.concatenate([k2 * mA, k2 * mB], axis=0)  # (2R, LANE)
-            vm = jnp.concatenate([v2 * mA, v2 * mB], axis=0)
-            logits = jax.lax.dot_general(
-                q2s, km, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (R, 2R)
-            pA = _softmax_f32(logits[:, :R] + bias)
-            pB = _softmax_f32(logits[:, R:] + bias)
-            pc = jnp.concatenate([pA, pB], axis=1).astype(x.dtype)
-            # dv_pair[c, l] = sum_r p[r, c] g[r, l]; head h's slice masked after
-            dv_pair = jax.lax.dot_general(pc, g2, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)  # (2R, LANE)
-            dv = dv_pair[:R] * mA + dv_pair[R:] * mB
-            # dp_pair[r, c] = sum_l g[r, l] vm[c, l] (mask carried by vm)
-            dp_pair = jax.lax.dot_general(g2, vm, (((1,), (1,)), ((), ())),
-                                          preferred_element_type=jnp.float32)  # (R, 2R)
-            dpA, dpB = dp_pair[:, :R], dp_pair[:, R:]
-            dsA = (dpA - jnp.sum(dpA * pA, axis=-1, keepdims=True)) * pA
-            dsB = (dpB - jnp.sum(dpB * pB, axis=-1, keepdims=True)) * pB
-            dsc = jnp.concatenate([dsA, dsB], axis=1).astype(x.dtype)  # (R, 2R)
-            # dq = ds_A km_A + ds_B km_B in one contraction (km rows stacked);
-            # ds was built unscaled, so the logits' scale re-enters here and
-            # folds into dk's output mask multiplies
-            dq = jax.lax.dot_general(dsc, km, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
-            dk_pair = jax.lax.dot_general(dsc, q2, (((0,), (0,)), ((), ())),
-                                          preferred_element_type=jnp.float32)  # (2R, LANE)
-            mAf = mA.astype(jnp.float32) * scale
-            mBf = mB.astype(jnp.float32) * scale
-            dk = dk_pair[:R] * mAf + dk_pair[R:] * mBf
+        dq, dk, dv = _bwd_group_math(x[:, base:base + LANE],
+                                     x[:, D + base:D + base + LANE],
+                                     x[:, 2 * D + base:2 * D + base + LANE],
+                                     g_all[:, base:base + LANE],
+                                     bias, scale, per)
         dqkv_ref[:, :, base:base + LANE] = (
             dq.reshape(bn, s_pad, LANE).astype(dqkv_ref.dtype))
         dqkv_ref[:, :, D + base:D + base + LANE] = (
             dk.reshape(bn, s_pad, LANE).astype(dqkv_ref.dtype))
         dqkv_ref[:, :, 2 * D + base:2 * D + base + LANE] = (
             dv.reshape(bn, s_pad, LANE).astype(dqkv_ref.dtype))
+
+
+# ----------------------------------------------- per-group grid variant
+#
+# EOE_TPU_ATTN_GROUP_GRID=1 restructures the kernels so the lane-group loop
+# becomes the innermost GRID dimension instead of a Python loop over column
+# slices of one resident block: each grid step's BlockSpecs fetch only that
+# group's q/k/v (and dout) 128-lane column windows, so pallas's automatic
+# pipelining double-buffers the NEXT group's DMA against the current group's
+# compute. Same total HBM traffic, finer interleaving. The backward emits
+# dq/dk/dv as three separate outputs (one BlockSpec cannot write the three
+# disjoint column windows of a packed dqkv) which the wrapper re-concatenates.
+
+
+def _fwd_group_compute(q_ref, k_ref, v_ref, o_ref, *, heads: int, d: int,
+                       s_pad: int, s_real: int, causal: bool):
+    bn = q_ref.shape[0]
+    R = bn * s_pad
+    per = LANE // d
+    bias = _cell_bias(R, s_pad, s_real, causal)
+    out = _fwd_group_math(q_ref[...].reshape(R, LANE),
+                          k_ref[...].reshape(R, LANE),
+                          v_ref[...].reshape(R, LANE),
+                          bias, d ** -0.5, per)
+    o_ref[...] = out.reshape(bn, s_pad, LANE).astype(o_ref.dtype)
+
+
+def _bwd_group_compute(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref,
+                       *, heads: int, d: int, s_pad: int, s_real: int,
+                       causal: bool):
+    bn = q_ref.shape[0]
+    R = bn * s_pad
+    per = LANE // d
+    bias = _cell_bias(R, s_pad, s_real, causal)
+    dq, dk, dv = _bwd_group_math(q_ref[...].reshape(R, LANE),
+                                 k_ref[...].reshape(R, LANE),
+                                 v_ref[...].reshape(R, LANE),
+                                 g_ref[...].reshape(R, LANE),
+                                 bias, d ** -0.5, per)
+    dq_ref[...] = dq.reshape(bn, s_pad, LANE).astype(dq_ref.dtype)
+    dk_ref[...] = dk.reshape(bn, s_pad, LANE).astype(dk_ref.dtype)
+    dv_ref[...] = dv.reshape(bn, s_pad, LANE).astype(dv_ref.dtype)
+
+
+def _group_grid_call(kind: str, inputs, n, heads, d, s_real, causal, dtype):
+    qkv = inputs[0]
+    s_pad = qkv.shape[1]
+    D = heads * d
+    ng = D // LANE  # lane groups per tensor
+    bn = _pick_block(n, s_pad, MAX_R if kind == "fwd" else MAX_R_BWD)
+    interpret = jax.default_backend() == "cpu"
+    blk = (bn, s_pad, LANE)
+
+    def col(off):  # group g's 128-lane window at tensor offset off (blocks)
+        return pl.BlockSpec(blk, lambda i, g, o=off: (i, 0, g + o),
+                            memory_space=pltpu.VMEM)
+
+    if kind == "fwd":
+        out = pl.pallas_call(
+            functools.partial(_fwd_group_compute, heads=heads, d=d,
+                              s_pad=s_pad, s_real=s_real, causal=causal),
+            interpret=interpret,
+            out_shape=jax.ShapeDtypeStruct((n, s_pad, D), dtype),
+            grid=(n // bn, ng),
+            in_specs=[col(0), col(ng), col(2 * ng)],
+            out_specs=col(0),
+        )(qkv, qkv, qkv)
+        return out
+    g = inputs[1]
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_group_compute, heads=heads, d=d,
+                          s_pad=s_pad, s_real=s_real, causal=causal),
+        interpret=interpret,
+        out_shape=tuple(jax.ShapeDtypeStruct((n, s_pad, D), dtype)
+                        for _ in range(3)),
+        grid=(n // bn, ng),
+        in_specs=[col(0), col(ng), col(2 * ng), col(0)],
+        out_specs=(col(0), col(0), col(0)),
+    )(qkv, qkv, qkv, g)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
 
 
 # ------------------------------------------------------------- kernel call
@@ -317,8 +409,14 @@ def _bwd_compute(qkv_ref, g_ref, dqkv_ref, *, heads: int, d: int,
 # the XLA-level pad to the sublane tile around every call.
 
 
+GROUP_GRID = _os.environ.get("EOE_TPU_ATTN_GROUP_GRID", "0") == "1"
+
+
 def _fused_call(kind: str, out_feats: int, inputs, n, heads, d,
                 s_real, causal, dtype):
+    if GROUP_GRID and (heads * d) % LANE == 0:
+        return _group_grid_call(kind, inputs, n, heads, d, s_real, causal,
+                                dtype)
     s_pad = inputs[0].shape[1]
     bn = _pick_block(n, s_pad, MAX_R if kind == "fwd" else MAX_R_BWD)
     interpret = jax.default_backend() == "cpu"
